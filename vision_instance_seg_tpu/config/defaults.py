@@ -1,0 +1,198 @@
+"""Default configuration tree.
+
+Covers every knob the reference sets through Detectron2/MaskDINO configs
+(reference training/maskdino/train_original.py:250-301, train_experiments.py:48-87,
+the MaskDINO base YAML ``maskdino_R50_bs16_50ep_4s_dowsample1_2048.yaml``) plus the
+TPU-native knobs (mesh axes, dtype policy, Pallas kernel toggles) that replace the
+CUDA/DDP machinery.
+
+Key naming follows the Detectron2/MaskDINO convention (``MODEL.SWIN.*``,
+``SOLVER.*``, ``INPUT.*``) so the reference CLIs' free-form ``opts`` overrides
+(e.g. ``SOLVER.BASE_LR 5e-5``) keep working verbatim.
+"""
+
+from vision_instance_seg_tpu.config.core import CfgNode as CN
+
+
+def get_cfg() -> CN:
+    _C = CN()
+
+    _C.VERSION = 1
+    _C.OUTPUT_DIR = "./output"
+    _C.SEED = 42
+
+    # ------------------------------------------------------------------ MODEL
+    _C.MODEL = CN()
+    _C.MODEL.META_ARCHITECTURE = "MaskFormer"  # MaskFormer | MaskDINO
+    _C.MODEL.WEIGHTS = ""
+    _C.MODEL.PIXEL_MEAN = [123.675, 116.28, 103.53]
+    _C.MODEL.PIXEL_STD = [58.395, 57.12, 57.375]
+    _C.MODEL.DEVICE = "tpu"  # informational; jax picks the backend
+
+    _C.MODEL.BACKBONE = CN()
+    _C.MODEL.BACKBONE.NAME = "swin"  # swin | resnet
+    _C.MODEL.BACKBONE.FREEZE_AT = 0
+
+    _C.MODEL.RESNETS = CN()
+    _C.MODEL.RESNETS.DEPTH = 50
+    _C.MODEL.RESNETS.NORM = "FrozenBN"  # FrozenBN | GN | LN
+    _C.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    _C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+
+    _C.MODEL.SWIN = CN()
+    _C.MODEL.SWIN.PRETRAIN_IMG_SIZE = 224
+    _C.MODEL.SWIN.PATCH_SIZE = 4
+    _C.MODEL.SWIN.EMBED_DIM = 96
+    _C.MODEL.SWIN.DEPTHS = [2, 2, 6, 2]        # Swin-T; Swin-S [2,2,18,2]
+    _C.MODEL.SWIN.NUM_HEADS = [3, 6, 12, 24]   # Swin-B: dim 128 heads [4,8,16,32]
+    _C.MODEL.SWIN.WINDOW_SIZE = 7
+    _C.MODEL.SWIN.MLP_RATIO = 4.0
+    _C.MODEL.SWIN.QKV_BIAS = True
+    _C.MODEL.SWIN.QK_SCALE = 0.0  # 0.0 -> default head_dim**-0.5
+    _C.MODEL.SWIN.DROP_RATE = 0.0
+    _C.MODEL.SWIN.ATTN_DROP_RATE = 0.0
+    _C.MODEL.SWIN.DROP_PATH_RATE = 0.3
+    _C.MODEL.SWIN.APE = False
+    _C.MODEL.SWIN.PATCH_NORM = True
+    _C.MODEL.SWIN.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    _C.MODEL.SWIN.USE_CHECKPOINT = False  # jax.checkpoint per block
+
+    _C.MODEL.SEM_SEG_HEAD = CN()
+    _C.MODEL.SEM_SEG_HEAD.NAME = "MaskFormerHead"
+    _C.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 1  # thunderbolt (single defect class)
+    _C.MODEL.SEM_SEG_HEAD.IGNORE_VALUE = 255
+    _C.MODEL.SEM_SEG_HEAD.CONVS_DIM = 256
+    _C.MODEL.SEM_SEG_HEAD.MASK_DIM = 256
+    _C.MODEL.SEM_SEG_HEAD.NORM = "GN"
+    _C.MODEL.SEM_SEG_HEAD.PIXEL_DECODER_NAME = "MSDeformAttnPixelDecoder"
+    _C.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    _C.MODEL.SEM_SEG_HEAD.DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES = ["res3", "res4", "res5"]
+    _C.MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS = 6
+    _C.MODEL.SEM_SEG_HEAD.COMMON_STRIDE = 4
+    _C.MODEL.SEM_SEG_HEAD.NUM_FEATURE_LEVELS = 3  # scales fed to the decoder
+    _C.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = 4  # scales in the encoder (MaskDINO 4s)
+    _C.MODEL.SEM_SEG_HEAD.DEFORM_NUM_POINTS = 4
+    _C.MODEL.SEM_SEG_HEAD.DEFORM_NUM_HEADS = 8
+
+    # Mask2Former head (reference gets this from Mask2Former/MaskDINO yaml)
+    _C.MODEL.MASK_FORMER = CN()
+    _C.MODEL.MASK_FORMER.TRANSFORMER_DECODER_NAME = "MultiScaleMaskedTransformerDecoder"
+    _C.MODEL.MASK_FORMER.DEEP_SUPERVISION = True
+    _C.MODEL.MASK_FORMER.NO_OBJECT_WEIGHT = 0.1
+    _C.MODEL.MASK_FORMER.CLASS_WEIGHT = 2.0
+    _C.MODEL.MASK_FORMER.MASK_WEIGHT = 5.0
+    _C.MODEL.MASK_FORMER.DICE_WEIGHT = 5.0
+    _C.MODEL.MASK_FORMER.BOX_WEIGHT = 5.0    # used by MaskDINO
+    _C.MODEL.MASK_FORMER.GIOU_WEIGHT = 2.0   # used by MaskDINO
+    _C.MODEL.MASK_FORMER.HIDDEN_DIM = 256
+    _C.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES = 100
+    _C.MODEL.MASK_FORMER.NHEADS = 8
+    _C.MODEL.MASK_FORMER.DROPOUT = 0.0
+    _C.MODEL.MASK_FORMER.DIM_FEEDFORWARD = 2048
+    _C.MODEL.MASK_FORMER.DEC_LAYERS = 10  # 9 + 1 (convention: yaml "10" = 9 layers)
+    _C.MODEL.MASK_FORMER.PRE_NORM = False
+    _C.MODEL.MASK_FORMER.ENFORCE_INPUT_PROJ = False
+    _C.MODEL.MASK_FORMER.SIZE_DIVISIBILITY = 32
+    _C.MODEL.MASK_FORMER.TRAIN_NUM_POINTS = 12544
+    _C.MODEL.MASK_FORMER.OVERSAMPLE_RATIO = 3.0
+    _C.MODEL.MASK_FORMER.IMPORTANCE_SAMPLE_RATIO = 0.75
+    _C.MODEL.MASK_FORMER.TEST = CN()
+    _C.MODEL.MASK_FORMER.TEST.SEMANTIC_ON = False
+    _C.MODEL.MASK_FORMER.TEST.INSTANCE_ON = True
+    _C.MODEL.MASK_FORMER.TEST.PANOPTIC_ON = False
+    _C.MODEL.MASK_FORMER.TEST.OBJECT_MASK_THRESHOLD = 0.0
+    _C.MODEL.MASK_FORMER.TEST.OVERLAP_THRESHOLD = 0.0
+    _C.MODEL.MASK_FORMER.TEST.SEM_SEG_POSTPROCESSING_BEFORE_INFERENCE = False
+
+    # MaskDINO-specific (reference MaskDINO config: denoising + boxes + two-stage)
+    _C.MODEL.MASK_DINO = CN()
+    _C.MODEL.MASK_DINO.ENABLED = False
+    _C.MODEL.MASK_DINO.DN = "seg"             # "no" | "standard" | "seg"
+    _C.MODEL.MASK_DINO.DN_NUM = 100           # total denoising queries
+    _C.MODEL.MASK_DINO.DN_NOISE_SCALE = 0.4
+    _C.MODEL.MASK_DINO.DN_LABEL_NOISE_RATIO = 0.2
+    _C.MODEL.MASK_DINO.TWO_STAGE = True
+    _C.MODEL.MASK_DINO.INITIAL_PRED = True
+    _C.MODEL.MASK_DINO.LEARN_TGT = False
+    _C.MODEL.MASK_DINO.INITIALIZE_BOX_TYPE = "no"
+    _C.MODEL.MASK_DINO.SEMANTIC_CE_LOSS = False
+
+    # ----------------------------------------------------------------- INPUT
+    _C.INPUT = CN()
+    # reference train_original.py:272-275
+    _C.INPUT.MIN_SIZE_TRAIN = [480, 512, 544, 576, 608, 640]
+    _C.INPUT.MAX_SIZE_TRAIN = 800
+    _C.INPUT.MIN_SIZE_TEST = 640
+    _C.INPUT.MAX_SIZE_TEST = 800
+    _C.INPUT.RANDOM_FLIP = "horizontal"
+    _C.INPUT.CROP = CN()
+    _C.INPUT.CROP.ENABLED = False
+    _C.INPUT.CROP.TYPE = "absolute_range"
+    _C.INPUT.CROP.SIZE = [384, 600]
+    _C.INPUT.FORMAT = "RGB"
+    # TPU-native: fixed padded canvas so jit sees static shapes.
+    # LSJ (large-scale jitter) resize into a fixed square, Mask2Former-style.
+    _C.INPUT.IMAGE_SIZE = 640          # train canvas (square)
+    _C.INPUT.LSJ = CN()
+    _C.INPUT.LSJ.ENABLED = True
+    _C.INPUT.LSJ.MIN_SCALE = 0.5
+    _C.INPUT.LSJ.MAX_SCALE = 2.0
+    _C.INPUT.TEST_PAD_H = 800          # eval canvas: shortest 640 / longest <=800
+    _C.INPUT.TEST_PAD_W = 800          #  always fits; 800 = 25*32 (static for jit)
+    _C.INPUT.MAX_INSTANCES = 100       # GT padding inside jit
+    _C.INPUT.MASK_FORMAT = "bitmask"
+
+    # -------------------------------------------------------------- DATASETS
+    _C.DATASETS = CN()
+    _C.DATASETS.TRAIN = []
+    _C.DATASETS.TEST = []
+
+    _C.DATALOADER = CN()
+    _C.DATALOADER.NUM_WORKERS = 2
+    _C.DATALOADER.PREFETCH_BATCHES = 2  # device double-buffering depth
+    _C.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
+
+    # ---------------------------------------------------------------- SOLVER
+    _C.SOLVER = CN()
+    _C.SOLVER.IMS_PER_BATCH = 2
+    _C.SOLVER.BASE_LR = 1e-4
+    _C.SOLVER.MAX_ITER = 3000
+    _C.SOLVER.STEPS = [2400, 2700]     # 80% / 90% (train_experiments.py:70)
+    _C.SOLVER.GAMMA = 0.1
+    _C.SOLVER.LR_SCHEDULER_NAME = "WarmupMultiStepLR"  # or WarmupCosineLR
+    _C.SOLVER.WARMUP_FACTOR = 1e-3
+    _C.SOLVER.WARMUP_ITERS = 100
+    _C.SOLVER.WARMUP_METHOD = "linear"
+    _C.SOLVER.WEIGHT_DECAY = 0.05
+    _C.SOLVER.WEIGHT_DECAY_NORM = 0.0
+    _C.SOLVER.WEIGHT_DECAY_EMBED = 0.0
+    _C.SOLVER.OPTIMIZER = "ADAMW"
+    _C.SOLVER.BACKBONE_MULTIPLIER = 0.1
+    _C.SOLVER.CLIP_GRADIENTS = CN()
+    _C.SOLVER.CLIP_GRADIENTS.ENABLED = True
+    _C.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "norm"  # reference fixes full_model->norm
+    _C.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 0.01
+    _C.SOLVER.CLIP_GRADIENTS.NORM_TYPE = 2.0
+    _C.SOLVER.AMP = CN()
+    _C.SOLVER.AMP.ENABLED = True       # bf16 compute on TPU
+    _C.SOLVER.CHECKPOINT_PERIOD = 1000
+
+    # ------------------------------------------------------------------ TEST
+    _C.TEST = CN()
+    _C.TEST.EVAL_PERIOD = 1000
+    _C.TEST.DETECTIONS_PER_IMAGE = 100
+    _C.TEST.SCORE_THRESH = 0.0
+
+    # ------------------------------------------------------------------- TPU
+    _C.TPU = CN()
+    _C.TPU.MESH_AXES = ["data", "model"]
+    _C.TPU.MESH_SHAPE = [-1, 1]        # -1 = all remaining devices on the data axis
+    _C.TPU.COMPUTE_DTYPE = "bfloat16"  # activations/matmuls; params stay fp32
+    _C.TPU.PARAM_DTYPE = "float32"
+    _C.TPU.USE_PALLAS_WINDOW_ATTN = True
+    _C.TPU.USE_PALLAS_DEFORM_ATTN = True
+    _C.TPU.REMAT_BACKBONE = False
+    _C.TPU.PROFILE = False             # jax.profiler trace behind a flag
+    _C.TPU.PROFILE_DIR = "/tmp/vist_trace"
+
+    return _C.clone()
