@@ -1,0 +1,250 @@
+"""Model-stack tests: shapes, jit, numerics, matcher, criterion, train step.
+
+Strategy per SURVEY.md §4: numeric golden tests of kernels vs pure-jnp
+references; a tiny fixed-seed model exercising the full train/eval path on
+the CPU backend (8 virtual devices via conftest).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_instance_seg_tpu.config import get_cfg
+
+
+def tiny_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.SWIN.EMBED_DIM = 32
+    cfg.MODEL.SWIN.DEPTHS = [1, 1, 1, 1]
+    cfg.MODEL.SWIN.NUM_HEADS = [2, 2, 2, 2]
+    cfg.MODEL.SWIN.DROP_PATH_RATE = 0.0
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 32
+    cfg.MODEL.SEM_SEG_HEAD.MASK_DIM = 32
+    cfg.MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS = 1
+    cfg.MODEL.MASK_FORMER.HIDDEN_DIM = 32
+    cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES = 8
+    cfg.MODEL.MASK_FORMER.DIM_FEEDFORWARD = 64
+    cfg.MODEL.MASK_FORMER.DEC_LAYERS = 4
+    cfg.MODEL.MASK_FORMER.TRAIN_NUM_POINTS = 256
+    cfg.MODEL.MASK_FORMER.NHEADS = 4
+    cfg.INPUT.IMAGE_SIZE = 64
+    cfg.INPUT.MAX_INSTANCES = 4
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.TPU.USE_PALLAS_WINDOW_ATTN = False
+    cfg.TPU.USE_PALLAS_DEFORM_ATTN = False
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from vision_instance_seg_tpu.models import build_model, normalize_image
+
+    cfg = tiny_cfg()
+    model = build_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = jax.jit(model.init)(jax.random.key(0), normalize_image(x, cfg))
+    return cfg, model, params
+
+
+class TestSwin:
+    def test_feature_strides(self):
+        from vision_instance_seg_tpu.models.swin import SwinTransformer
+
+        m = SwinTransformer(embed_dim=32, depths=(1, 1, 1, 1),
+                            num_heads=(2, 2, 2, 2), drop_path_rate=0.0)
+        x = jnp.zeros((1, 64, 96, 3))
+        params = jax.jit(m.init)(jax.random.key(0), x)
+        out = m.apply(params, x)
+        assert out["res2"].shape == (1, 16, 24, 32)
+        assert out["res3"].shape == (1, 8, 12, 64)
+        assert out["res4"].shape == (1, 4, 6, 128)
+        assert out["res5"].shape == (1, 2, 3, 256)
+
+    def test_window_partition_roundtrip(self):
+        from vision_instance_seg_tpu.models.swin import (
+            window_partition, window_unpartition)
+
+        x = jnp.arange(2 * 14 * 14 * 3, dtype=jnp.float32).reshape(2, 14, 14, 3)
+        w = window_partition(x, 7)
+        assert w.shape == (2 * 4, 49, 3)
+        np.testing.assert_array_equal(window_unpartition(w, 7, 14, 14), x)
+
+
+class TestResNet:
+    def test_shapes(self):
+        from vision_instance_seg_tpu.models.resnet import ResNet
+
+        m = ResNet(depth=50)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = jax.jit(m.init)(jax.random.key(0), x)
+        out = m.apply(variables, x)
+        assert out["res2"].shape == (1, 16, 16, 256)
+        assert out["res5"].shape == (1, 2, 2, 2048)
+
+
+class TestDeformAttnCore:
+    def test_center_sample_identity(self):
+        """Sampling exactly at pixel centers returns the pixel values."""
+        from vision_instance_seg_tpu.models.deform_attn import (
+            ms_deform_attn_core_jnp)
+
+        h = w = 4
+        v = jnp.arange(h * w, dtype=jnp.float32).reshape(1, h * w, 1, 1)
+        # one query per pixel, weight 1 on a single point at that pixel center
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        locs = np.stack([(xs.ravel() + 0.5) / w, (ys.ravel() + 0.5) / h], -1)
+        loc = jnp.asarray(locs).reshape(1, h * w, 1, 1, 1, 2)
+        wgt = jnp.ones((1, h * w, 1, 1, 1))
+        out = ms_deform_attn_core_jnp(v, [(h, w)], loc, wgt)
+        np.testing.assert_allclose(
+            np.asarray(out).ravel(), np.arange(h * w, dtype=np.float32),
+            rtol=1e-5)
+
+    def test_out_of_range_zero(self):
+        from vision_instance_seg_tpu.models.deform_attn import (
+            ms_deform_attn_core_jnp)
+
+        v = jnp.ones((1, 16, 1, 2))
+        loc = jnp.full((1, 1, 1, 1, 1, 2), 5.0)   # far outside [0,1]
+        wgt = jnp.ones((1, 1, 1, 1, 1))
+        out = ms_deform_attn_core_jnp(v, [(4, 4)], loc, wgt)
+        np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+class TestMatcher:
+    def test_matches_scipy(self):
+        """Device Hungarian == scipy linear_sum_assignment on random costs."""
+        from scipy.optimize import linear_sum_assignment
+
+        import optax
+
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            cost = rng.random((6, 10))
+            i, j = optax.assignment.hungarian_algorithm(jnp.asarray(cost))
+            si, sj = linear_sum_assignment(cost)
+            total = cost[np.asarray(i), np.asarray(j)].sum()
+            assert np.isclose(total, cost[si, sj].sum())
+
+    def test_padded_invalid_dropped(self):
+        from vision_instance_seg_tpu.models.matcher import hungarian_match
+
+        b, q, m, p = 1, 4, 3, 8
+        key = jax.random.key(0)
+        cls_logits = jax.random.normal(key, (b, q, 2))
+        gt_classes = jnp.zeros((b, m), jnp.int32)
+        gt_pts = jax.random.bernoulli(key, 0.5, (b, m, p)).astype(jnp.float32)
+        pr_pts = jax.random.normal(key, (b, q, p))
+        valid = jnp.asarray([[True, True, False]])
+        res = hungarian_match(cls_logits, None, gt_classes, gt_pts, pr_pts,
+                              valid)
+        # the two valid GTs get distinct queries
+        q0, q1 = int(res.gt_to_query[0, 0]), int(res.gt_to_query[0, 1])
+        assert q0 != q1
+
+
+class TestCriterion:
+    def test_perfect_prediction_low_loss(self):
+        """A prediction matching GT exactly has a much lower loss than noise."""
+        from vision_instance_seg_tpu.models.criterion import (
+            CriterionConfig, set_criterion)
+
+        cc = CriterionConfig(num_classes=1, num_points=128,
+                             deep_supervision=False)
+        b, q, m, hm, hw = 1, 4, 2, 16, 32
+        key = jax.random.key(1)
+        gt_masks = np.zeros((b, m, hw, hw), np.float32)
+        gt_masks[0, 0, :16, :16] = 1
+        gt_masks[0, 1, 16:, 16:] = 1
+        gt_classes = jnp.zeros((b, m), jnp.int32)
+        gt_valid = jnp.ones((b, m), bool)
+
+        # "perfect": two queries carry the GT masks at high confidence
+        mask_logits = np.full((1, b, q, hm, hm), -20.0, np.float32)
+        mask_logits[0, 0, 0, :8, :8] = 20.0
+        mask_logits[0, 0, 1, 8:, 8:] = 20.0
+        cls_logits = np.zeros((1, b, q, 2), np.float32)
+        cls_logits[..., 1] = 10.0                  # default: no-object
+        cls_logits[0, 0, 0] = [10.0, 0.0]
+        cls_logits[0, 0, 1] = [10.0, 0.0]
+
+        good, _ = set_criterion(key, jnp.asarray(cls_logits),
+                                jnp.asarray(mask_logits), gt_classes,
+                                jnp.asarray(gt_masks), gt_valid, cc)
+        bad_masks = jax.random.normal(key, (1, b, q, hm, hm))
+        bad_cls = jax.random.normal(key, (1, b, q, 2))
+        bad, _ = set_criterion(key, bad_cls, bad_masks, gt_classes,
+                               jnp.asarray(gt_masks), gt_valid, cc)
+        assert float(good) < float(bad) * 0.5
+
+    def test_no_gt_only_ce(self):
+        from vision_instance_seg_tpu.models.criterion import (
+            CriterionConfig, set_criterion)
+
+        cc = CriterionConfig(num_points=64, deep_supervision=False)
+        key = jax.random.key(0)
+        loss, logs = set_criterion(
+            key, jnp.zeros((1, 1, 4, 2)), jnp.zeros((1, 1, 4, 8, 8)),
+            jnp.zeros((1, 2), jnp.int32), jnp.zeros((1, 2, 16, 16)),
+            jnp.zeros((1, 2), bool), cc)
+        assert np.isfinite(float(loss))
+
+
+class TestEndToEnd:
+    def test_forward_shapes(self, tiny_model):
+        cfg, model, params = tiny_model
+        x = jnp.zeros((2, 64, 64, 3))
+        cls, masks = model.apply(params, x)
+        n_layers = cfg.MODEL.MASK_FORMER.DEC_LAYERS  # (DEC_LAYERS-1) + initial
+        assert cls.shape == (n_layers, 2, 8, 2)
+        assert masks.shape == (n_layers, 2, 8, 16, 16)
+
+    def test_train_step_improves_loss(self, tiny_model):
+        from vision_instance_seg_tpu.engine.solver import make_optimizer
+        from vision_instance_seg_tpu.engine.trainer import (
+            TrainState, make_train_step)
+
+        cfg, model, params = tiny_model
+        cfg = cfg.clone()
+        cfg.SOLVER.BASE_LR = 1e-3
+        cfg.SOLVER.WARMUP_ITERS = 0
+        cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+        # the jitted step donates its input state — work on a copy so the
+        # module-scoped fixture's params survive for later tests
+        params = jax.tree.map(jnp.copy, params)
+        tx = make_optimizer(cfg, params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params))
+        step = make_train_step(cfg, model, tx)
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
+        masks = np.zeros((2, 4, 64, 64), np.uint8)
+        masks[:, 0, 8:32, 8:32] = 1
+        batch = {
+            "image": jnp.asarray(img),
+            "gt_classes": jnp.zeros((2, 4), jnp.int32),
+            "gt_masks": jnp.asarray(masks),
+            "num_instances": jnp.ones((2,), jnp.int32),
+        }
+        key = jax.random.key(0)
+        losses = []
+        for _ in range(8):
+            state, logs = step(state, batch, key)
+            losses.append(float(logs["loss_total"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_instance_inference(self, tiny_model):
+        from vision_instance_seg_tpu.models import make_inference_fn
+
+        cfg, model, params = tiny_model
+        infer = make_inference_fn(model, cfg)
+        out = infer(params, jnp.zeros((1, 64, 64, 3)))
+        assert out["scores"].shape == (1, 8)
+        assert out["labels"].shape == (1, 8)
+        assert out["mask_probs"].shape == (1, 8, 16, 16)
+        s = np.asarray(out["scores"][0])
+        assert (np.diff(s) <= 1e-6).all()  # sorted descending

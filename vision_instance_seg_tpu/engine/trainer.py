@@ -1,0 +1,168 @@
+"""Training engine: jitted SPMD train step + hook loop.
+
+Replaces the reference stack's ``DefaultTrainer``/``SimpleTrainer`` (used at
+train_experiments.py:112, train_original.py:334). The hot loop is a single
+jitted function over (state, batch, rng) with donated state — forward
+(backbone -> pixel decoder -> masked decoder), Hungarian match, CE/dice/
+focal point losses, backward, clip, AdamW — the step never leaves the chip.
+Host-side per step: next-batch augmentation (background thread) + metric
+scalars every LOG_PERIOD.
+
+Checkpointing uses orbax (reference: DetectionCheckpointer,
+train_experiments.py:115-124) with resume semantics and preemption-safe
+atomic saves.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from vision_instance_seg_tpu.data.catalog import DatasetCatalog
+from vision_instance_seg_tpu.data.loader import TrainLoader
+from vision_instance_seg_tpu.engine.solver import make_lr_schedule, make_optimizer
+from vision_instance_seg_tpu.models.criterion import (
+    criterion_config_from_cfg, set_criterion)
+from vision_instance_seg_tpu.models.meta_arch import build_model, normalize_image
+from vision_instance_seg_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, replicated, shard_batch)
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(cfg, model, rng, sample_batch) -> TrainState:
+    images = jnp.asarray(sample_batch["image"][:1], jnp.float32)
+    params = jax.jit(model.init)(rng, normalize_image(images, cfg))
+    tx = make_optimizer(cfg, params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def make_train_step(cfg, model, tx) -> Callable:
+    """Build the jitted train step. Returns (state, batch, rng) -> (state, metrics)."""
+    cc = criterion_config_from_cfg(cfg)
+
+    def loss_fn(params, batch, rng):
+        drop_rng, crit_rng = jax.random.split(rng)
+        images = normalize_image(batch["image"].astype(jnp.float32), cfg)
+        cls_layers, mask_layers = model.apply(
+            params, images, deterministic=False, rngs={"dropout": drop_rng})
+        m = batch["gt_classes"].shape[1]
+        gt_valid = (jnp.arange(m)[None, :]
+                    < batch["num_instances"][:, None])
+        total, logs = set_criterion(
+            crit_rng, cls_layers, mask_layers, batch["gt_classes"],
+            batch["gt_masks"], gt_valid, cc)
+        return total, logs
+
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, step_rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        logs["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt)
+        return new_state, logs
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+class Trainer:
+    """Full training driver: data, step loop, checkpoints, eval hook."""
+
+    def __init__(self, cfg, model=None, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg, batch_size=int(cfg.SOLVER.IMS_PER_BATCH))
+        self.model = model if model is not None else build_model(cfg)
+        dicts: List[dict] = []
+        for name in cfg.DATASETS.TRAIN:
+            dicts.extend(DatasetCatalog.get(name))
+        self.loader = TrainLoader(dicts, cfg)
+        self.rng = jax.random.key(cfg.SEED)
+        sample = self.loader.make_batch(0)
+        self.state = create_train_state(cfg, self.model, self.rng, sample)
+        self._tx = make_optimizer(cfg, self.state.params)
+        self.train_step = make_train_step(cfg, self.model, self._tx)
+        self.schedule = make_lr_schedule(cfg)
+        self.start_iter = 0
+        self.hooks: List[Callable[[int, Dict], None]] = []
+        os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+        self._metrics_file = os.path.join(cfg.OUTPUT_DIR, "metrics.json")
+
+    # -------------------------------------------------- checkpoint/resume
+    def checkpoint_dir(self) -> str:
+        return os.path.join(os.path.abspath(self.cfg.OUTPUT_DIR), "checkpoints")
+
+    def save_checkpoint(self, tag: Optional[str] = None):
+        from vision_instance_seg_tpu.engine.checkpoint import save_checkpoint
+        step = int(self.state.step)
+        save_checkpoint(self.checkpoint_dir(), self.state,
+                        step if tag is None else tag)
+
+    def resume_or_load(self, resume: bool = True):
+        from vision_instance_seg_tpu.engine.checkpoint import (
+            latest_checkpoint, load_checkpoint, load_pretrained_backbone)
+        if resume:
+            latest = latest_checkpoint(self.checkpoint_dir())
+            if latest is not None:
+                self.state = load_checkpoint(latest, self.state)
+                self.start_iter = int(self.state.step)
+                logger.info("resumed from %s at iter %d", latest, self.start_iter)
+                return self
+        w = self.cfg.MODEL.WEIGHTS
+        if w:
+            self.state = self.state.replace(
+                params=load_pretrained_backbone(w, self.state.params))
+            logger.info("initialized backbone from %s", w)
+        return self
+
+    # --------------------------------------------------------------- loop
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        max_iter = int(cfg.SOLVER.MAX_ITER)
+        log_period = 20
+        data_iter = iter(self.loader)
+        last_logs: Dict[str, float] = {}
+        t_start = time.time()
+        step_times = []
+        for it in range(self.start_iter, max_iter):
+            batch = shard_batch(next(data_iter), self.mesh)
+            t0 = time.time()
+            self.state, logs = self.train_step(self.state, batch, self.rng)
+            if it % log_period == 0 or it == max_iter - 1:
+                logs = {k: float(v) for k, v in logs.items()}
+                logs["lr"] = float(self.schedule(it))
+                jax.block_until_ready(self.state.params)
+                logs["step_time_s"] = time.time() - t0
+                step_times.append(logs["step_time_s"])
+                last_logs = logs
+                logger.info("iter %d/%d %s", it, max_iter,
+                            " ".join(f"{k}={v:.4g}" for k, v in logs.items()))
+                with open(self._metrics_file, "a") as f:
+                    f.write(json.dumps({"iteration": it, **logs}) + "\n")
+            if (it + 1) % int(cfg.SOLVER.CHECKPOINT_PERIOD) == 0:
+                self.save_checkpoint()
+            for hook in self.hooks:
+                hook(it, last_logs)
+        self.save_checkpoint("final")
+        last_logs["total_time_s"] = time.time() - t_start
+        return last_logs

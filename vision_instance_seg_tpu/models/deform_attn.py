@@ -1,0 +1,156 @@
+"""Multi-scale deformable attention (MSDeformAttn), TPU-native.
+
+The reference's pixel decoder depends on MaskDINO's compiled CUDA kernel
+``MSDeformAttn`` (maskdino/modeling/pixel_decoder/ops — pulled in via
+``add_maskdino_config``/``build_model``, reference train_original.py:29).
+Here the sampling core is a pure function over static per-level shapes:
+
+    ms_deform_attn_core(value_levels, locations, weights) -> output
+
+- jnp reference path: vectorized corner gathers via ``take_along_axis`` on
+  the flattened (H*W) axis — everything batched, no scalar loops, XLA fuses
+  the 4-corner lerp into the gathers.
+- A Pallas kernel (kernels/msdeform_attn.py) implements the same contract
+  with blocked VMEM gathers (config TPU.USE_PALLAS_DEFORM_ATTN).
+
+Shapes (static): value (B, sum_L H_l*W_l, nH, hd); locations
+(B, Q, nH, L, P, 2) normalized to [0,1]; weights (B, Q, nH, L, P) softmaxed
+over L*P. Output (B, Q, nH*hd).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vision_instance_seg_tpu.models.layers import trunc_normal_init
+
+# (value, spatial_shapes, locations, weights) -> (B, Q, nH, hd)
+DeformCoreFn = Callable[..., jnp.ndarray]
+
+
+def _bilinear_gather_level(value_l: jnp.ndarray, loc: jnp.ndarray,
+                           h: int, w: int) -> jnp.ndarray:
+    """Bilinear sample one level.
+
+    value_l: (B, H*W, nH, hd); loc: (B, Q, nH, P, 2) in [0,1] normalized.
+    Returns (B, Q, nH, P, hd). Matches the CUDA kernel's convention:
+    sampling grid is align_corners=False ('pixel centers at (i+0.5)/W'),
+    out-of-range corners contribute zero.
+    """
+    b, hw, nh, hd = value_l.shape
+    q, p = loc.shape[1], loc.shape[3]
+    x = loc[..., 0] * w - 0.5                       # (B, Q, nH, P)
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = (x - x0).astype(value_l.dtype)
+    ly = (y - y0).astype(value_l.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(yi, xi, wgt):
+        valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)  # (B,Q,nH,P)
+        # gather along flattened-HW axis: reshape to (B, Q*P, nH) index
+        idx_f = idx.transpose(0, 1, 3, 2).reshape(b, q * p, nh)
+        g = jnp.take_along_axis(value_l, idx_f[..., None], axis=1)  # (B,Q*P,nH,hd)
+        g = g.reshape(b, q, p, nh, hd).transpose(0, 1, 3, 2, 4)     # (B,Q,nH,P,hd)
+        wgt = jnp.where(valid, wgt, 0.0)
+        return g * wgt[..., None].astype(value_l.dtype)
+
+    out = (corner(y0i, x0i, (1 - ly) * (1 - lx))
+           + corner(y0i, x0i + 1, (1 - ly) * lx)
+           + corner(y0i + 1, x0i, ly * (1 - lx))
+           + corner(y0i + 1, x0i + 1, ly * lx))
+    return out
+
+
+def ms_deform_attn_core_jnp(value: jnp.ndarray,
+                            spatial_shapes: Sequence[Tuple[int, int]],
+                            locations: jnp.ndarray,
+                            weights: jnp.ndarray) -> jnp.ndarray:
+    """Reference (pure-jnp) deformable sampling core.
+
+    value: (B, sum HW, nH, hd) — levels concatenated along axis 1.
+    spatial_shapes: static [(H_l, W_l)] per level.
+    locations: (B, Q, nH, L, P, 2); weights: (B, Q, nH, L, P).
+    Returns (B, Q, nH * hd).
+    """
+    b, _, nh, hd = value.shape
+    q = locations.shape[1]
+    splits = [h * w for h, w in spatial_shapes]
+    offsets = np.cumsum([0] + splits)
+    out = jnp.zeros((b, q, nh, hd), dtype=jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, int(offsets[lvl]), splits[lvl], 1)
+        sampled = _bilinear_gather_level(v, locations[:, :, :, lvl], h, w)
+        out = out + jnp.sum(
+            sampled.astype(jnp.float32)
+            * weights[:, :, :, lvl, :, None].astype(jnp.float32), axis=3)
+    return out.reshape(b, q, nh * hd)
+
+
+class MSDeformAttn(nn.Module):
+    """Learned deformable attention layer (Deformable-DETR formulation)."""
+
+    dim: int = 256
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+    dtype: jnp.dtype = jnp.float32
+    core_fn: Optional[DeformCoreFn] = None
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray, reference_points: jnp.ndarray,
+                 value: jnp.ndarray,
+                 spatial_shapes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+        """query (B, Q, C); reference_points (B, Q, L, 2) or (B, Q, L, 4)
+        normalized; value (B, sum HW, C)."""
+        b, q, c = query.shape
+        nh, nl, npts = self.num_heads, self.num_levels, self.num_points
+        hd = c // nh
+
+        v = nn.Dense(c, dtype=self.dtype, name="value_proj")(value)
+        v = v.reshape(b, -1, nh, hd)
+
+        # init offsets like the CUDA impl: 8 compass directions scaled by ring
+        def _offset_bias_init(key, shape, dtype=jnp.float32):
+            thetas = np.arange(nh) * (2.0 * np.pi / nh)
+            grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+            grid = grid / np.abs(grid).max(-1, keepdims=True)
+            grid = np.tile(grid[:, None, None, :], (1, nl, npts, 1))
+            for i in range(npts):
+                grid[:, :, i, :] *= i + 1
+            return jnp.asarray(grid.reshape(-1), dtype)
+
+        off = nn.Dense(nh * nl * npts * 2, dtype=jnp.float32,
+                       kernel_init=nn.initializers.zeros,
+                       bias_init=_offset_bias_init,
+                       name="sampling_offsets")(query.astype(jnp.float32))
+        off = off.reshape(b, q, nh, nl, npts, 2)
+
+        aw = nn.Dense(nh * nl * npts, dtype=jnp.float32,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      name="attention_weights")(query.astype(jnp.float32))
+        aw = jax.nn.softmax(aw.reshape(b, q, nh, nl * npts), axis=-1)
+        aw = aw.reshape(b, q, nh, nl, npts)
+
+        wh = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)
+        if reference_points.shape[-1] == 2:
+            loc = (reference_points[:, :, None, :, None, :]
+                   + off / wh[None, None, None, :, None, :])
+        else:  # box refs (cx, cy, w, h): offsets scaled by box size
+            ref = reference_points
+            loc = (ref[:, :, None, :, None, :2]
+                   + off / npts * ref[:, :, None, :, None, 2:] * 0.5)
+
+        core = self.core_fn or ms_deform_attn_core_jnp
+        out = core(v, spatial_shapes, loc, aw)
+        return nn.Dense(c, dtype=self.dtype, name="output_proj")(
+            out.astype(self.dtype))

@@ -1,0 +1,114 @@
+"""Jitted Hungarian matcher for set prediction (Mask2Former/MaskDINO).
+
+Replaces the reference stack's ``HungarianMatcher`` (scipy
+``linear_sum_assignment`` on CPU inside the torch loss, via MaskDINO —
+reference train_original.py:29 build path). TPU-native differences:
+
+- The assignment runs **on device inside jit** via
+  ``optax.assignment.hungarian_algorithm`` (vmapped over the batch), so the
+  train step never syncs to host (SURVEY.md §7 "hard parts": jitted
+  Hungarian).
+- Variable #GT per image is handled with pad-to-max + masked cost columns:
+  invalid GT columns get a huge constant cost, so they absorb leftover
+  queries and are dropped afterwards by ``gt_valid``.
+- The mask/dice pair costs decompose into matmuls over sampled points
+  (BCE(x,y) = y*softplus(-x) + (1-y)*softplus(x)), which the MXU eats —
+  no (Q, M, P) intermediate is ever materialized.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class MatchResult(NamedTuple):
+    # For each GT slot g: the query index assigned to it.
+    gt_to_query: jnp.ndarray   # (B, M) int32
+    gt_valid: jnp.ndarray      # (B, M) bool
+
+
+def point_sample_nhw(grid: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-sample (N, H, W) at normalized xy points (P, 2) -> (N, P).
+
+    Convention matches torch.nn.functional.grid_sample align_corners=False
+    (pixel centers at (i + 0.5) / size), zero padding outside.
+    """
+    n, h, w = grid.shape
+    x = points[:, 0] * w - 0.5
+    y = points[:, 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(yi, xi, wgt):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        g = grid.reshape(n, h * w)[:, idx]              # (N, P)
+        return g * jnp.where(valid, wgt, 0.0)[None, :]
+
+    return (corner(y0i, x0i, (1 - ly) * (1 - lx))
+            + corner(y0i, x0i + 1, (1 - ly) * lx)
+            + corner(y0i + 1, x0i, ly * (1 - lx))
+            + corner(y0i + 1, x0i + 1, ly * lx))
+
+
+def batch_sigmoid_ce_cost(pred_pts: jnp.ndarray, gt_pts: jnp.ndarray) -> jnp.ndarray:
+    """(Q, P) logits x (M, P) {0,1} -> (Q, M) mean point BCE."""
+    p = pred_pts.shape[1]
+    pos = jax.nn.softplus(-pred_pts)                    # loss where gt = 1
+    neg = jax.nn.softplus(pred_pts)                     # loss where gt = 0
+    return (pos @ gt_pts.T + neg @ (1.0 - gt_pts).T) / p
+
+
+def batch_dice_cost(pred_pts: jnp.ndarray, gt_pts: jnp.ndarray) -> jnp.ndarray:
+    """(Q, P) logits x (M, P) {0,1} -> (Q, M) dice cost."""
+    pr = jax.nn.sigmoid(pred_pts)
+    num = 2.0 * (pr @ gt_pts.T)
+    den = pr.sum(-1)[:, None] + gt_pts.sum(-1)[None, :]
+    return 1.0 - (num + 1.0) / (den + 1.0)
+
+
+_INVALID_COST = 1e6
+
+
+def hungarian_match(cls_logits: jnp.ndarray, mask_logits: jnp.ndarray,
+                    gt_classes: jnp.ndarray, gt_mask_pts: jnp.ndarray,
+                    pred_mask_pts: jnp.ndarray, gt_valid: jnp.ndarray,
+                    cost_class: float = 2.0, cost_mask: float = 5.0,
+                    cost_dice: float = 5.0) -> MatchResult:
+    """Batched padded Hungarian matching.
+
+    cls_logits (B, Q, C+1); mask_logits unused (kept for signature clarity);
+    gt_classes (B, M) int32 (any value ok on invalid slots);
+    gt_mask_pts (B, M, P) point-sampled GT {0,1};
+    pred_mask_pts (B, Q, P) point-sampled mask logits;
+    gt_valid (B, M) bool.
+    """
+    del mask_logits
+
+    def per_image(cls_l, gt_c, gt_pts, pr_pts, valid):
+        prob = jax.nn.softmax(cls_l.astype(jnp.float32), axis=-1)  # (Q, C+1)
+        c_class = -prob[:, jnp.clip(gt_c, 0, prob.shape[1] - 1)]   # (Q, M)
+        c_mask = batch_sigmoid_ce_cost(pr_pts.astype(jnp.float32),
+                                       gt_pts.astype(jnp.float32))
+        c_dice = batch_dice_cost(pr_pts.astype(jnp.float32),
+                                 gt_pts.astype(jnp.float32))
+        cost = (cost_class * c_class + cost_mask * c_mask + cost_dice * c_dice)
+        cost = jnp.where(valid[None, :], cost, _INVALID_COST)      # (Q, M)
+        # transpose: rows = GT (M <= Q) so every GT gets a query
+        i, j = optax.assignment.hungarian_algorithm(cost.T)
+        # i = GT rows, j = assigned query. Scatter to slot order.
+        gt_to_q = jnp.zeros((cost.shape[1],), jnp.int32).at[i].set(
+            j.astype(jnp.int32))
+        return gt_to_q
+
+    gt_to_query = jax.vmap(per_image)(
+        cls_logits, gt_classes, gt_mask_pts, pred_mask_pts, gt_valid)
+    return MatchResult(gt_to_query=gt_to_query, gt_valid=gt_valid)

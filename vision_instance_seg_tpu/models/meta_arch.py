@@ -1,0 +1,129 @@
+"""MaskFormer meta-architecture: backbone -> pixel decoder -> masked decoder.
+
+Replaces the reference stack's ``MaskFormer``/``MaskDINO`` meta-arch
+(detectron2 META_ARCHITECTURE, built by ``build_model`` — reference
+train_original.py:29, evaluate.py:109). One flax module produces the stacked
+deep-supervision predictions; the loss (criterion.py) and the inference
+post-process live outside the module so train/eval steps stay pure jitted
+functions over (params, batch).
+
+Inference post-process follows Mask2Former instance inference: top-K over
+query x class scores, mask-probability calibration, masks returned at 1/4
+canvas resolution (small device->host transfer; final resize to the original
+image size + RLE encode happen on host, engine/predictor.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vision_instance_seg_tpu.models.deform_attn import DeformCoreFn
+from vision_instance_seg_tpu.models.pixel_decoder import build_pixel_decoder
+from vision_instance_seg_tpu.models.resnet import build_resnet
+from vision_instance_seg_tpu.models.swin import AttnFn, build_swin
+from vision_instance_seg_tpu.models.transformer_decoder import (
+    build_transformer_decoder)
+
+
+class MaskFormer(nn.Module):
+    """Instance segmentation model over prebuilt submodules. Input NHWC
+    float images already normalized; output (cls_layers, mask_layers)."""
+
+    backbone: nn.Module
+    pixel_decoder: nn.Module
+    predictor: nn.Module
+    dtype: jnp.dtype = jnp.float32
+
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True):
+        feats = self.backbone(images.astype(self.dtype), deterministic)
+        mask_features, multi_scale = self.pixel_decoder(feats)
+        cls_layers, mask_layers = self.predictor(multi_scale, mask_features,
+                                                 deterministic)
+        return cls_layers, mask_layers
+
+
+def build_model(cfg, dtype=None, window_attn_fn=None, deform_core_fn=None
+                ) -> MaskFormer:
+    """Build the model, auto-wiring Pallas kernels per cfg.TPU flags."""
+    if dtype is None:
+        dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    if window_attn_fn is None and cfg.TPU.USE_PALLAS_WINDOW_ATTN:
+        try:
+            from vision_instance_seg_tpu.kernels.window_attention import (
+                fused_window_attention)
+            window_attn_fn = fused_window_attention
+        except ImportError:
+            window_attn_fn = None
+    if deform_core_fn is None and cfg.TPU.USE_PALLAS_DEFORM_ATTN:
+        try:
+            from vision_instance_seg_tpu.kernels.msdeform_attn import (
+                fused_ms_deform_attn)
+            deform_core_fn = fused_ms_deform_attn
+        except ImportError:
+            deform_core_fn = None
+    if cfg.MODEL.BACKBONE.NAME == "swin":
+        backbone = build_swin(cfg, dtype=dtype, attn_fn=window_attn_fn)
+    elif cfg.MODEL.BACKBONE.NAME == "resnet":
+        backbone = build_resnet(cfg, dtype=dtype)
+    else:
+        raise ValueError(f"unknown backbone {cfg.MODEL.BACKBONE.NAME}")
+    return MaskFormer(
+        backbone=backbone,
+        pixel_decoder=build_pixel_decoder(cfg, dtype=dtype,
+                                          core_fn=deform_core_fn),
+        predictor=build_transformer_decoder(cfg, dtype=dtype),
+        dtype=dtype)
+
+
+def normalize_image(images: jnp.ndarray, cfg) -> jnp.ndarray:
+    """(B, H, W, 3) RGB 0-255 -> normalized (reference PIXEL_MEAN/STD)."""
+    mean = jnp.asarray(cfg.MODEL.PIXEL_MEAN, jnp.float32)
+    std = jnp.asarray(cfg.MODEL.PIXEL_STD, jnp.float32)
+    return (images - mean) / std
+
+
+def instance_inference(cls_logits: jnp.ndarray, mask_logits: jnp.ndarray,
+                       num_classes: int, topk: int = 100
+                       ) -> Dict[str, jnp.ndarray]:
+    """Mask2Former instance inference for ONE image (final layer).
+
+    cls_logits (Q, C+1); mask_logits (Q, Hm, Wm) at 1/4 canvas resolution.
+    Returns scores (K,), labels (K,), mask_probs (K, Hm, Wm) — all static
+    shapes, fully jittable/vmappable.
+    """
+    q = cls_logits.shape[0]
+    scores = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)[:, :-1]
+    flat = scores.reshape(-1)                            # Q*C
+    k = min(topk, flat.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    query_idx = top_idx // num_classes
+    labels = top_idx % num_classes
+    masks = mask_logits[query_idx].astype(jnp.float32)   # (K, Hm, Wm)
+    probs = jax.nn.sigmoid(masks)
+    binm = (probs > 0.5).astype(jnp.float32)
+    # mask-probability calibration (Mask2Former: score *= mean prob in mask)
+    mask_score = (probs * binm).sum((1, 2)) / (binm.sum((1, 2)) + 1e-6)
+    return {"scores": top_scores * mask_score,
+            "labels": labels,
+            "mask_probs": probs}
+
+
+def make_inference_fn(model: MaskFormer, cfg):
+    """Jitted batch inference: batch dict -> per-image top-K instances."""
+    num_classes = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
+    topk = cfg.TEST.DETECTIONS_PER_IMAGE
+
+    def infer(params, images):
+        images = normalize_image(images, cfg)
+        cls_layers, mask_layers = model.apply(params, images,
+                                              deterministic=True)
+        cls_f, mask_f = cls_layers[-1], mask_layers[-1]
+        return jax.vmap(
+            lambda c, m: instance_inference(c, m, num_classes, topk)
+        )(cls_f, mask_f)
+
+    return jax.jit(infer)

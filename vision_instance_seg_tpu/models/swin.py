@@ -1,0 +1,303 @@
+"""Swin Transformer backbone (T/S/B/L), TPU-native.
+
+Re-designed from scratch for XLA/TPU rather than ported from the reference's
+torch stack (the reference imports Swin via MaskDINO's fork of
+``swin_transformer.py``; declared architecture README.md:2 "Swin Transformer
++ Mask2Former"):
+
+- NHWC throughout (native TPU conv layout), static shapes: the train canvas
+  is a fixed square (INPUT.IMAGE_SIZE) so every stage's window partition is
+  static and jit compiles once.
+- Shifted windows via ``jnp.roll`` (XLA lowers to cheap collective-free
+  slice/concat), window partition via reshape/transpose only.
+- The window attention core is a pluggable callable so the Pallas fused
+  kernel (kernels/window_attention.py) can replace the jnp reference path
+  (config TPU.USE_PALLAS_WINDOW_ATTN).
+- Relative position bias stored as a (2W-1)^2 x nH table, gathered once per
+  block (identical parameterization to the original paper so ImageNet
+  weights import 1:1).
+- bf16 activations / fp32 params; LayerNorm in fp32.
+
+Stage outputs are {"res2": /4, "res3": /8, "res4": /16, "res5": /32} to match
+what the pixel decoder consumes (reference SEM_SEG_HEAD.IN_FEATURES).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vision_instance_seg_tpu.models.layers import (
+    DropPath, LayerNorm, Mlp, trunc_normal_init)
+
+# Signature: (q, k, v, bias, scale) -> out
+#   q,k,v: (num_windows_total, num_heads, tokens, head_dim)
+#   bias:  (num_windows_total, num_heads, tokens, tokens) additive
+AttnFn = Callable[..., jnp.ndarray]
+
+
+def reference_window_attention(q, k, v, bias, scale) -> jnp.ndarray:
+    """Plain-jnp window attention; the numerical golden for the Pallas kernel."""
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn + bias.astype(jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nWh*nWw, ws*ws, C). H, W must be multiples of ws."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_unpartition(x: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    """Inverse of window_partition."""
+    c = x.shape[-1]
+    b = x.shape[0] // ((h // ws) * (w // ws))
+    x = x.reshape(b, h // ws, w // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def _relative_position_index(ws: int) -> np.ndarray:
+    """Static (ws^2, ws^2) index into the (2ws-1)^2 bias table."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    coords = coords.reshape(2, -1)                      # 2, ws^2
+    rel = coords[:, :, None] - coords[:, None, :]       # 2, ws^2, ws^2
+    rel = rel.transpose(1, 2, 0) + (ws - 1)             # shift to >= 0
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """Static additive mask (nW, ws^2, ws^2) for shifted windows: tokens from
+    different pre-shift regions must not attend to each other."""
+    img = np.zeros((h, w), np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, wsl] = cnt
+            cnt += 1
+    img = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
+    img = img.reshape(-1, ws * ws)                      # nW, ws^2
+    diff = img[:, :, None] != img[:, None, :]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA / SW-MSA with relative position bias."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+    qk_scale: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[AttnFn] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+        # x: (nW_total, N, C); mask: (nW, N, N) or None
+        nwt, n, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        scale = self.qk_scale or hd ** -0.5
+
+        table = self.param(
+            "relative_position_bias_table", trunc_normal_init(),
+            ((2 * self.window_size - 1) ** 2, nh), jnp.float32)
+        rel_idx = jnp.asarray(_relative_position_index(self.window_size))
+        bias = table[rel_idx.reshape(-1)].reshape(n, n, nh)
+        bias = bias.transpose(2, 0, 1)                   # nH, N, N
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(), name="qkv")(x)
+        qkv = qkv.reshape(nwt, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]                 # (nWt, nH, N, hd)
+
+        full_bias = jnp.broadcast_to(bias[None], (nwt, nh, n, n))
+        if mask is not None:
+            nw = mask.shape[0]
+            m = mask[None, :, None].astype(jnp.float32)  # 1, nW, 1, N, N
+            full_bias = (full_bias.reshape(nwt // nw, nw, nh, n, n) + m
+                         ).reshape(nwt, nh, n, n)
+
+        attn = (self.attn_fn or reference_window_attention)(
+            q, k, v, full_bias, scale)
+        out = attn.transpose(0, 2, 1, 3).reshape(nwt, n, c)
+        return nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init(),
+                        name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: float = 0.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[AttnFn] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        # x: (B, H, W, C) with H, W already padded to window multiples
+        b, h, w, c = x.shape
+        ws, shift = self.window_size, self.shift_size
+
+        shortcut = x
+        x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(h, w, ws, shift))
+        else:
+            mask = None
+        xw = window_partition(x, ws)
+        xw = WindowAttention(
+            self.dim, self.num_heads, ws, self.qkv_bias, self.qk_scale,
+            dtype=self.dtype, attn_fn=self.attn_fn, name="attn")(xw, mask)
+        x = window_unpartition(xw, ws, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+
+        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                name="mlp")(y, deterministic)
+        return x + DropPath(self.drop_path)(y, deterministic)
+
+
+class PatchMerging(nn.Module):
+    """Downsample 2x: concat 2x2 neighborhood -> LN -> Dense(2C)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        pad_h, pad_w = h % 2, w % 2
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            h, w = h + pad_h, w + pad_w
+        # order matches torch impl: x0=(0::2,0::2) x1=(1::2,0::2) x2=(0::2,1::2) x3=(1::2,1::2)
+        x = jnp.concatenate([
+            x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+            x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                        kernel_init=trunc_normal_init(), name="reduction")(x)
+
+
+def _pad_to_windows(x: jnp.ndarray, ws: int) -> Tuple[jnp.ndarray, int, int]:
+    b, h, w, c = x.shape
+    ph = (ws - h % ws) % ws
+    pw = (ws - w % ws) % ws
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return x, h + ph, w + pw
+
+
+class SwinTransformer(nn.Module):
+    """Swin backbone producing multi-scale NHWC features res2..res5.
+
+    Variants: T (96,[2,2,6,2],[3,6,12,24]) S (96,[2,2,18,2],...)
+              B (128,[2,2,18,2],[4,8,16,32]) L (192,...,[6,12,24,48]).
+    """
+
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 7
+    patch_size: int = 4
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: float = 0.0
+    drop_path_rate: float = 0.3
+    patch_norm: bool = True
+    ape: bool = False
+    out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
+    use_checkpoint: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[AttnFn] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        """x: (B, H, W, 3) normalized image -> dict of NHWC feature maps."""
+        ps = self.patch_size
+        b, h0, w0, _ = x.shape
+        ph = (ps - h0 % ps) % ps
+        pw = (ps - w0 % ps) % ps
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps),
+                    dtype=self.dtype, name="patch_embed")(x)
+        if self.patch_norm:
+            x = LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        # TPU.REMAT: rematerialize each block's activations in backward
+        # (trades FLOPs for HBM — SURVEY.md build plan, jax.checkpoint).
+        block_cls = nn.remat(SwinBlock, static_argnums=(2,)) if self.use_checkpoint else SwinBlock
+        outs = {}
+        blk_i = 0
+        for stage in range(len(self.depths)):
+            dim = self.embed_dim * (2 ** stage)
+            h0, w0 = x.shape[1], x.shape[2]
+            # pad to window multiples for the blocks, crop back after —
+            # feature strides stay exactly 4/8/16/32 w.r.t. the input canvas
+            x, hp, wp = _pad_to_windows(x, self.window_size)
+            for d in range(self.depths[stage]):
+                x = block_cls(
+                    dim=dim, num_heads=self.num_heads[stage],
+                    window_size=self.window_size,
+                    shift_size=0 if d % 2 == 0 else self.window_size // 2,
+                    mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale, drop_path=dpr[blk_i],
+                    dtype=self.dtype, attn_fn=self.attn_fn,
+                    name=f"stage{stage}_block{d}")(x, deterministic)
+                blk_i += 1
+            x = x[:, :h0, :w0]
+            feat_name = f"res{stage + 2}"
+            if feat_name in self.out_features:
+                # per-output-scale LN (matches torch impl's out norms)
+                f = LayerNorm(dtype=self.dtype, name=f"norm{stage}")(x)
+                outs[feat_name] = f
+            if stage < len(self.depths) - 1:
+                x = PatchMerging(dim=dim, dtype=self.dtype,
+                                 name=f"downsample{stage}")(x)
+        return outs
+
+
+SWIN_VARIANTS = {
+    "tiny": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
+    "small": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    "base": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
+    "large": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48)),
+}
+
+
+def swin_output_channels(embed_dim: int) -> dict:
+    return {f"res{i + 2}": embed_dim * (2 ** i) for i in range(4)}
+
+
+def build_swin(cfg, dtype=jnp.float32, attn_fn: Optional[AttnFn] = None
+               ) -> SwinTransformer:
+    s = cfg.MODEL.SWIN
+    return SwinTransformer(
+        embed_dim=s.EMBED_DIM, depths=tuple(s.DEPTHS),
+        num_heads=tuple(s.NUM_HEADS), window_size=s.WINDOW_SIZE,
+        patch_size=s.PATCH_SIZE, mlp_ratio=s.MLP_RATIO, qkv_bias=s.QKV_BIAS,
+        qk_scale=s.QK_SCALE, drop_path_rate=s.DROP_PATH_RATE,
+        patch_norm=s.PATCH_NORM, ape=s.APE,
+        out_features=tuple(s.OUT_FEATURES), use_checkpoint=s.USE_CHECKPOINT,
+        dtype=dtype, attn_fn=attn_fn)

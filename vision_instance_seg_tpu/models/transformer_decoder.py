@@ -1,0 +1,196 @@
+"""Multi-scale masked transformer decoder (Mask2Former), TPU-native.
+
+Replaces the reference stack's ``MultiScaleMaskedTransformerDecoder``
+(Mask2Former/MaskDINO transformer decoder, reached via build_model —
+reference train_original.py:29; MODEL.MASK_FORMER.* config keys).
+
+TPU design notes:
+- 100 queries x 9 layers over 3 scales round-robin; every op is a dense
+  batched matmul on the MXU (no ragged/dynamic shapes anywhere).
+- Masked cross-attention = additive -inf bias from the previous layer's
+  mask prediction, resized to the attended scale with XLA's native
+  ``jax.image.resize``; the "unmask empty queries" fix (needed to avoid
+  all--inf softmax NaNs) is a vectorized ``jnp.where`` on a per-query
+  reduction.
+- Deep supervision returns all intermediate predictions stacked along a
+  leading axis so the criterion can vmap over layers.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vision_instance_seg_tpu.models.layers import (
+    LayerNorm, position_embedding_sine, trunc_normal_init)
+
+
+class MultiheadAttention(nn.Module):
+    """Explicit q/k/v multi-head attention with additive bias support."""
+
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, attn_bias: Optional[jnp.ndarray] = None):
+        # q: (B, Q, C), k/v: (B, K, C); attn_bias: (B, nH, Q, K) additive
+        b, nq, c = q.shape
+        nh = self.num_heads
+        hd = c // nh
+        qp = nn.Dense(c, dtype=self.dtype, name="q_proj")(q)
+        kp = nn.Dense(c, dtype=self.dtype, name="k_proj")(k)
+        vp = nn.Dense(c, dtype=self.dtype, name="v_proj")(v)
+        qp = qp.reshape(b, nq, nh, hd).transpose(0, 2, 1, 3)
+        kp = kp.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+        vp = vp.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qp * (hd ** -0.5), kp,
+                            preferred_element_type=jnp.float32)
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1).astype(vp.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, nq, c)
+        return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+
+
+class MLPHead(nn.Module):
+    """N-layer MLP (ReLU between layers) — DETR-style head."""
+
+    hidden_dim: int
+    out_dim: int
+    num_layers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
+                                 name=f"layer{i}")(x))
+        return nn.Dense(self.out_dim, dtype=self.dtype,
+                        name=f"layer{self.num_layers - 1}")(x)
+
+
+class MaskedTransformerDecoder(nn.Module):
+    """Mask2Former decoder head: queries -> (class logits, mask logits) per layer."""
+
+    num_classes: int = 1
+    hidden_dim: int = 256
+    num_queries: int = 100
+    num_heads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9              # config DEC_LAYERS - 1
+    mask_dim: int = 256
+    num_feature_levels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def _predict(heads, x, mask_features):
+        """x: (B, Q, C); mask_features: (B, H, W, Cm)."""
+        decoder_norm, class_embed, mask_embed = heads
+        y = decoder_norm(x)
+        cls_logits = class_embed(y.astype(jnp.float32))
+        membed = mask_embed(y)
+        mask_logits = jnp.einsum("bqc,bhwc->bqhw", membed.astype(jnp.float32),
+                                 mask_features.astype(jnp.float32),
+                                 preferred_element_type=jnp.float32)
+        return cls_logits, mask_logits
+
+    def _attn_mask(self, mask_logits, h, w, nh):
+        """Downsample mask prediction to the attended scale -> additive bias."""
+        b, q = mask_logits.shape[:2]
+        m = jax.image.resize(mask_logits, (b, q, h, w), method="bilinear")
+        keep = (jax.nn.sigmoid(m) > 0.5).reshape(b, q, h * w)
+        # unmask queries whose predicted mask is empty at this scale
+        any_kept = jnp.any(keep, axis=-1, keepdims=True)
+        keep = jnp.where(any_kept, keep, True)
+        bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
+        return jnp.broadcast_to(bias[:, None], (b, nh, q, h * w))
+
+    @nn.compact
+    def __call__(self, multi_scale_features: List[jnp.ndarray],
+                 mask_features: jnp.ndarray, deterministic: bool = True):
+        b = mask_features.shape[0]
+        c = self.hidden_dim
+        nlvl = self.num_feature_levels
+
+        query_feat = self.param("query_feat", trunc_normal_init(),
+                                (self.num_queries, c), jnp.float32)
+        query_embed = self.param("query_embed", trunc_normal_init(),
+                                 (self.num_queries, c), jnp.float32)
+        level_embed = self.param("level_embed", trunc_normal_init(),
+                                 (nlvl, c), jnp.float32)
+
+        srcs, poss, shapes = [], [], []
+        for i in range(nlvl):
+            f = multi_scale_features[i]
+            h, w = f.shape[1], f.shape[2]
+            src = nn.Dense(c, dtype=self.dtype, name=f"input_proj{i}")(f)
+            src = src.reshape(b, h * w, c) + level_embed[i].astype(self.dtype)
+            pos = position_embedding_sine(h, w, c, dtype=self.dtype)
+            srcs.append(src)
+            poss.append(jnp.broadcast_to(pos[None], (b, h * w, c)))
+            shapes.append((h, w))
+
+        x = jnp.broadcast_to(query_feat[None], (b, self.num_queries, c)
+                             ).astype(self.dtype)
+        qpos = jnp.broadcast_to(query_embed[None], (b, self.num_queries, c)
+                                ).astype(self.dtype)
+
+        # shared prediction heads (created once, applied after every layer)
+        heads = (LayerNorm(dtype=self.dtype, name="decoder_norm"),
+                 nn.Dense(self.num_classes + 1, dtype=jnp.float32,
+                          name="class_embed"),
+                 MLPHead(self.hidden_dim, self.mask_dim, 3, dtype=self.dtype,
+                         name="mask_embed"))
+
+        cls_out, mask_out = [], []
+        cls_logits, mask_logits = self._predict(heads, x, mask_features)
+        cls_out.append(cls_logits)
+        mask_out.append(mask_logits)
+
+        for li in range(self.dec_layers):
+            lvl = li % nlvl
+            h, w = shapes[lvl]
+            attn_bias = self._attn_mask(mask_logits, h, w, self.num_heads)
+
+            # masked cross-attention (pre-residual, post-norm like torch impl)
+            y = MultiheadAttention(c, self.num_heads, dtype=self.dtype,
+                                   name=f"layer{li}_cross_attn")(
+                x + qpos, srcs[lvl] + poss[lvl], srcs[lvl], attn_bias)
+            x = LayerNorm(dtype=self.dtype, name=f"layer{li}_norm1")(x + y)
+
+            # self-attention among queries
+            y = MultiheadAttention(c, self.num_heads, dtype=self.dtype,
+                                   name=f"layer{li}_self_attn")(
+                x + qpos, x + qpos, x)
+            x = LayerNorm(dtype=self.dtype, name=f"layer{li}_norm2")(x + y)
+
+            # FFN
+            y = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                         name=f"layer{li}_ffn1")(x)
+            y = nn.Dense(c, dtype=self.dtype,
+                         name=f"layer{li}_ffn2")(nn.relu(y))
+            x = LayerNorm(dtype=self.dtype, name=f"layer{li}_norm3")(x + y)
+
+            cls_logits, mask_logits = self._predict(heads, x, mask_features)
+            cls_out.append(cls_logits)
+            mask_out.append(mask_logits)
+
+        # (num_layers+1, B, Q, ...) — last entry is the final prediction
+        return jnp.stack(cls_out), jnp.stack(mask_out)
+
+
+def build_transformer_decoder(cfg, dtype=jnp.float32) -> MaskedTransformerDecoder:
+    m = cfg.MODEL.MASK_FORMER
+    return MaskedTransformerDecoder(
+        num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+        hidden_dim=m.HIDDEN_DIM, num_queries=m.NUM_OBJECT_QUERIES,
+        num_heads=m.NHEADS, dim_feedforward=m.DIM_FEEDFORWARD,
+        dec_layers=m.DEC_LAYERS - 1, mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
+        num_feature_levels=cfg.MODEL.SEM_SEG_HEAD.NUM_FEATURE_LEVELS,
+        dtype=dtype)

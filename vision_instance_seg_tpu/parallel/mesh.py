@@ -1,0 +1,81 @@
+"""Device mesh + sharding rules (SPMD data parallelism and beyond).
+
+Replaces the reference's NCCL/DDP machinery (detectron2 ``launch`` +
+torch.distributed, reference train_experiments.py:18,241-248) with the
+TPU-native story (SURVEY.md §2.3): one ``jax.sharding.Mesh`` with
+('data', 'model') axes; batches sharded over 'data'; parameters replicated
+(DP) or sharded over 'model' (TP hook — a config flag, unused at Swin-T/B
+scale). XLA inserts the gradient all-reduce over ICI automatically; there is
+no user-visible collective code.
+
+Multi-host: ``jax.distributed.initialize`` happens in the CLI entrypoints;
+here every helper works on the global device list.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cfg=None, devices=None, batch_size: Optional[int] = None) -> Mesh:
+    """Build the ('data', 'model') mesh. MESH_SHAPE -1 = all remaining.
+
+    If ``batch_size`` is given, the 'data' axis is shrunk to the largest
+    divisor of the batch (surplus devices are left out of the mesh) so a
+    global batch of any size shards cleanly — e.g. the reference's bs=2
+    (SOLVER.IMS_PER_BATCH, train_original.py:279) on an 8-chip host uses a
+    2-device data axis rather than failing.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    axes = list(cfg.TPU.MESH_AXES) if cfg is not None else ["data", "model"]
+    shape = list(cfg.TPU.MESH_SHAPE) if cfg is not None else [-1, 1]
+    known = int(np.prod([s for s in shape if s != -1]))
+    shape = [len(devices) // known if s == -1 else s for s in shape]
+    if batch_size is not None and "data" in axes:
+        di = axes.index("data")
+        d = min(shape[di], batch_size)
+        while batch_size % d or (len(devices) // known) < d:
+            d -= 1
+        shape[di] = d
+    n_used = int(np.prod(shape))
+    if n_used > len(devices):
+        raise ValueError(f"mesh shape {shape} > {len(devices)} devices")
+    arr = np.asarray(devices[:n_used]).reshape(shape)
+    return Mesh(arr, tuple(axes))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis split over 'data', everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host batch dict on the mesh, batch axis over 'data'."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        if isinstance(x, (int, float)):
+            return x
+        return jax.device_put(x, sh)
+
+    return {k: put(v) for k, v in batch.items()}
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
