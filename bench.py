@@ -1,0 +1,96 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.md): Mask2Former Swin-T batched inference
+throughput, images/sec/chip, at the reference eval resolution
+(shortest edge 640 / max 800 -> 800x800 canvas, evaluate.py / INPUT.*).
+
+Baseline for ``vs_baseline``: the driver's north-star is ">=3x A100
+images/sec/chip". Published A100 numbers for Swin-T Mask2Former instance
+segmentation are ~20 img/s (Mask2Former paper: 8.1 fps on V100 for Swin-T
+COCO instance seg; A100 ~2.5x V100 => ~20 img/s). Target = 3 x 20 = 60
+img/s/chip; vs_baseline = measured / 60.
+
+Usage: python bench.py [--config infer|train] [--batch N] [--iters N]
+"""
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_SWIN_T_M2F_IMG_PER_SEC = 20.0
+TARGET_MULTIPLier = 3.0
+
+
+def bench_infer(batch: int, iters: int, warmup: int = 3,
+                image_hw: int = 800) -> dict:
+    from vision_instance_seg_tpu.config import get_cfg
+    from vision_instance_seg_tpu.models import build_model, normalize_image
+
+    cfg = get_cfg()                       # Swin-T Mask2Former defaults
+    cfg.INPUT.TEST_PAD_H = cfg.INPUT.TEST_PAD_W = image_hw
+    model = build_model(cfg)
+
+    images = jnp.zeros((batch, image_hw, image_hw, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 normalize_image(images[:1], cfg))
+
+    @jax.jit
+    def forward(params, images):
+        cls_layers, mask_layers = model.apply(
+            params, normalize_image(images, cfg), deterministic=True)
+        # scalar checksum: forces full execution; float() below round-trips
+        # to host (block_until_ready alone is unreliable on the tunneled
+        # axon platform)
+        return (jnp.sum(cls_layers[-1].astype(jnp.float32))
+                + jnp.sum(mask_layers[-1].astype(jnp.float32)))
+
+    float(forward(params, images))
+    for _ in range(warmup):
+        float(forward(params, images))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(forward(params, images))
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times)
+    ips = batch / dt
+    return {"images_per_sec": ips, "ms_per_batch": dt * 1e3, "batch": batch}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="infer", choices=["infer"])
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--image-size", type=int, default=800)
+    args = ap.parse_args()
+
+    if jax.default_backend() == "cpu":    # keep CI/CPU smoke runs fast
+        args.batch, args.image_size = 1, 256
+
+    r = bench_infer(args.batch, args.iters, image_hw=args.image_size)
+    target = A100_SWIN_T_M2F_IMG_PER_SEC * TARGET_MULTIPLier
+    print(json.dumps({
+        "metric": "swin_t_mask2former_infer_images_per_sec_per_chip",
+        "value": round(r["images_per_sec"], 3),
+        "unit": "images/s",
+        "vs_baseline": round(r["images_per_sec"] / target, 4),
+        "detail": {"backend": jax.default_backend(),
+                   "batch": r["batch"],
+                   "image_size": args.image_size,
+                   "ms_per_batch": round(r["ms_per_batch"], 2),
+                   "baseline_target_images_per_sec": target},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Pallas kernel golden tests vs pure-jnp references (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestFusedWindowAttention:
+    def _run(self, b, nw, nh, n, hd, shift, seed=0):
+        from vision_instance_seg_tpu.kernels.window_attention import (
+            fused_window_attention)
+        from vision_instance_seg_tpu.models.swin import (
+            reference_window_attention)
+
+        rng = np.random.default_rng(seed)
+        nwt = b * nw
+        q = jnp.asarray(rng.normal(size=(nwt, nh, n, hd)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(nwt, nh, n, hd)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(nwt, nh, n, hd)), jnp.float32)
+        rel = jnp.asarray(rng.normal(size=(nh, n, n)), jnp.float32)
+        mask = None
+        if shift:
+            mask = np.zeros((nw, n, n), np.float32)
+            # mimic a real shift mask: block some pairs hard
+            mask[:, : n // 2, n // 2:] = -100.0
+            mask[:, n // 2:, : n // 2] = -100.0
+            mask = jnp.asarray(mask)
+        scale = hd ** -0.5
+        ref = reference_window_attention(q, k, v, rel, mask, scale, nw)
+        got = fused_window_attention(q, k, v, rel, mask, scale, nw,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_even_windows_no_shift(self):
+        self._run(b=1, nw=4, nh=2, n=49, hd=32, shift=False)
+
+    def test_odd_windows_with_shift(self):
+        self._run(b=2, nw=3, nh=3, n=49, hd=32, shift=True)
+
+    def test_single_window(self):
+        self._run(b=1, nw=1, nh=2, n=49, hd=32, shift=False)
+
+    def test_small_tokens(self):
+        self._run(b=1, nw=2, nh=1, n=16, hd=8, shift=True)

@@ -192,6 +192,100 @@ class TestCriterion:
         assert np.isfinite(float(loss))
 
 
+def tiny_dino_cfg():
+    cfg = tiny_cfg()
+    cfg.MODEL.MASK_DINO.ENABLED = True
+    cfg.MODEL.MASK_DINO.DN_NUM = 8       # 2 groups x 2 x MAX_INSTANCES(4)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_dino_model():
+    from vision_instance_seg_tpu.models import build_model, normalize_image
+
+    cfg = tiny_dino_cfg()
+    model = build_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = jax.jit(model.init)(jax.random.key(0), normalize_image(x, cfg))
+    return cfg, model, params
+
+
+class TestMaskDINO:
+    def test_forward_shapes(self, tiny_dino_model):
+        cfg, model, params = tiny_dino_model
+        out = model.apply(params, jnp.zeros((2, 64, 64, 3)))
+        L = cfg.MODEL.MASK_FORMER.DEC_LAYERS  # (DEC_LAYERS-1) + initial
+        q = cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES
+        assert out["pred_logits"].shape == (L, 2, q, 1)
+        assert out["pred_boxes"].shape == (L, 2, q, 4)
+        assert out["pred_masks"].shape == (L, 2, q, 16, 16)
+        assert out["enc_cls"].shape == (2, q, 1)
+        b = np.asarray(out["pred_boxes"])
+        assert ((b >= 0) & (b <= 1)).all()
+
+    def test_dn_layout(self, tiny_dino_model):
+        """Training call adds groups*2*M dn queries ahead of match queries."""
+        cfg, model, params = tiny_dino_model
+        m = cfg.INPUT.MAX_INSTANCES
+        groups = max(1, cfg.MODEL.MASK_DINO.DN_NUM // m)
+        gt_classes = jnp.zeros((2, m), jnp.int32)
+        gt_boxes = jnp.full((2, m, 4), 0.5)
+        gt_valid = jnp.ones((2, m), bool)
+        out = model.apply(params, jnp.zeros((2, 64, 64, 3)),
+                          deterministic=True, gt_classes=gt_classes,
+                          gt_boxes=gt_boxes, gt_valid=gt_valid,
+                          dn_rng=jax.random.key(0))
+        t = groups * 2 * m
+        q = cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES
+        assert out["pred_logits"].shape[2] == t + q
+        assert out["dn_meta"]["total"] == t
+
+    def test_train_step_improves_loss(self, tiny_dino_model):
+        from vision_instance_seg_tpu.engine.solver import make_optimizer
+        from vision_instance_seg_tpu.engine.trainer import (
+            TrainState, make_train_step)
+
+        cfg, model, params = tiny_dino_model
+        cfg = cfg.clone()
+        cfg.SOLVER.BASE_LR = 1e-3
+        cfg.SOLVER.WARMUP_ITERS = 0
+        cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+        params = jax.tree.map(jnp.copy, params)
+        tx = make_optimizer(cfg, params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params))
+        step = make_train_step(cfg, model, tx)
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
+        masks = np.zeros((2, 4, 64, 64), np.uint8)
+        masks[:, 0, 8:32, 8:32] = 1
+        batch = {
+            "image": jnp.asarray(img),
+            "gt_classes": jnp.zeros((2, 4), jnp.int32),
+            "gt_boxes": jnp.asarray(
+                np.tile(np.array([8, 8, 32, 32], np.float32), (2, 4, 1))),
+            "gt_masks": jnp.asarray(masks),
+            "num_instances": jnp.ones((2,), jnp.int32),
+        }
+        key = jax.random.key(0)
+        losses = []
+        for _ in range(8):
+            state, logs = step(state, batch, key)
+            losses.append(float(logs["loss_total"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_inference(self, tiny_dino_model):
+        from vision_instance_seg_tpu.models import make_inference_fn
+
+        cfg, model, params = tiny_dino_model
+        infer = make_inference_fn(model, cfg)
+        out = infer(params, jnp.zeros((1, 64, 64, 3)))
+        assert out["boxes"].shape == (1, 8, 4)
+        assert out["mask_probs"].shape == (1, 8, 16, 16)
+
+
 class TestEndToEnd:
     def test_forward_shapes(self, tiny_model):
         cfg, model, params = tiny_model

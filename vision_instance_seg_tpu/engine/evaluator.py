@@ -43,11 +43,14 @@ def postprocess_instances(mask_probs: np.ndarray, scores: np.ndarray,
                           canvas_h: int, canvas_w: int, orig_h: int,
                           orig_w: int, image_id: int,
                           category_ids: List[int],
-                          score_thresh: float = 0.0) -> List[dict]:
+                          score_thresh: float = 0.0,
+                          boxes: Optional[np.ndarray] = None) -> List[dict]:
     """One image: (K, Hm, Wm) probs -> COCO result dicts with RLE segms.
 
     Interpolation chain mirrors detectron2 mask postprocess: 1/4-canvas ->
     canvas (bilinear) -> crop valid -> original size (bilinear) -> >0.5.
+    ``boxes`` (K, 4) xyxy normalized to the canvas (MaskDINO box head) are
+    used for the bbox task when given; otherwise boxes come from the mask.
     """
     results = []
     k = mask_probs.shape[0]
@@ -65,7 +68,17 @@ def postprocess_instances(mask_probs: np.ndarray, scores: np.ndarray,
         seg = mask_util.encode(np.asfortranarray(binm))
         if isinstance(seg["counts"], bytes):
             seg = dict(seg, counts=seg["counts"].decode("ascii"))
-        bbox = mask_util.toBbox(seg).tolist()
+        if boxes is not None:
+            # normalized-canvas xyxy -> original-image xywh
+            sx = canvas_w / max(valid_w, 1) * orig_w
+            sy = canvas_h / max(valid_h, 1) * orig_h
+            x0, y0, x1, y1 = (float(boxes[i, 0]) * sx, float(boxes[i, 1]) * sy,
+                              float(boxes[i, 2]) * sx, float(boxes[i, 3]) * sy)
+            x0, y0 = max(x0, 0.0), max(y0, 0.0)
+            x1, y1 = min(x1, orig_w), min(y1, orig_h)
+            bbox = [x0, y0, max(x1 - x0, 0.0), max(y1 - y0, 0.0)]
+        else:
+            bbox = mask_util.toBbox(seg).tolist()
         results.append({
             "image_id": int(image_id),
             "category_id": int(category_ids[int(labels[i])]),
@@ -115,7 +128,9 @@ class COCOEvaluator:
                     out["mask_probs"][b], out["scores"][b], out["labels"][b],
                     vh, vw, canvas_h, canvas_w, oh, ow,
                     int(batch["image_id"][b]), self.category_ids,
-                    cfg.TEST.SCORE_THRESH))
+                    cfg.TEST.SCORE_THRESH,
+                    boxes=out.get("boxes", [None] * len(out["scores"]))[b]
+                    if "boxes" in out else None))
                 n_images += 1
         dt = time.time() - t0
         logger.info("inference on %d images in %.1fs (%.2f im/s)",

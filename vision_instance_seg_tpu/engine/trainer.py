@@ -56,16 +56,39 @@ def create_train_state(cfg, model, rng, sample_batch) -> TrainState:
 
 def make_train_step(cfg, model, tx) -> Callable:
     """Build the jitted train step. Returns (state, batch, rng) -> (state, metrics)."""
-    cc = criterion_config_from_cfg(cfg)
+    from vision_instance_seg_tpu.models.meta_arch import MaskDINO
+    dino = isinstance(model, MaskDINO)
+    if dino:
+        from vision_instance_seg_tpu.models.criterion_dino import (
+            dino_criterion_config_from_cfg, maskdino_criterion)
+        dcc = dino_criterion_config_from_cfg(cfg)
+    else:
+        cc = criterion_config_from_cfg(cfg)
 
     def loss_fn(params, batch, rng):
-        drop_rng, crit_rng = jax.random.split(rng)
+        drop_rng, crit_rng, dn_rng = jax.random.split(rng, 3)
         images = normalize_image(batch["image"].astype(jnp.float32), cfg)
-        cls_layers, mask_layers = model.apply(
-            params, images, deterministic=False, rngs={"dropout": drop_rng})
         m = batch["gt_classes"].shape[1]
         gt_valid = (jnp.arange(m)[None, :]
                     < batch["num_instances"][:, None])
+        if dino:
+            from vision_instance_seg_tpu.models.box_ops import (
+                box_xyxy_to_cxcywh)
+            h, w = images.shape[1], images.shape[2]
+            scale = jnp.asarray([w, h, w, h], jnp.float32)
+            boxes = box_xyxy_to_cxcywh(
+                batch["gt_boxes"].astype(jnp.float32) / scale)
+            boxes = jnp.clip(boxes, 1e-4, 1.0)
+            out = model.apply(
+                params, images, deterministic=False,
+                rngs={"dropout": drop_rng},
+                gt_classes=batch["gt_classes"], gt_boxes=boxes,
+                gt_valid=gt_valid, dn_rng=dn_rng)
+            return maskdino_criterion(
+                crit_rng, out, batch["gt_classes"], batch["gt_masks"],
+                boxes, gt_valid, dcc)
+        cls_layers, mask_layers = model.apply(
+            params, images, deterministic=False, rngs={"dropout": drop_rng})
         total, logs = set_criterion(
             crit_rng, cls_layers, mask_layers, batch["gt_classes"],
             batch["gt_masks"], gt_valid, cc)

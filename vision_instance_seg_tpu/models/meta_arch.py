@@ -46,6 +46,26 @@ class MaskFormer(nn.Module):
         return cls_layers, mask_layers
 
 
+class MaskDINO(nn.Module):
+    """MaskDINO meta-arch: adds boxes, two-stage and denoising on top of the
+    shared backbone + deformable pixel decoder. Training call feeds GT for
+    the CDN queries; eval call omits them (reference arch selected by
+    MODEL.MASK_DINO.ENABLED / META_ARCHITECTURE)."""
+
+    backbone: nn.Module
+    pixel_decoder: nn.Module
+    predictor: nn.Module
+    dtype: jnp.dtype = jnp.float32
+
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True,
+                 gt_classes=None, gt_boxes=None, gt_valid=None, dn_rng=None):
+        feats = self.backbone(images.astype(self.dtype), deterministic)
+        mask_features, multi_scale = self.pixel_decoder(feats)
+        return self.predictor(multi_scale, mask_features, deterministic,
+                              gt_classes=gt_classes, gt_boxes=gt_boxes,
+                              gt_valid=gt_valid, dn_rng=dn_rng)
+
+
 def build_model(cfg, dtype=None, window_attn_fn=None, deform_core_fn=None
                 ) -> MaskFormer:
     """Build the model, auto-wiring Pallas kernels per cfg.TPU flags."""
@@ -71,12 +91,25 @@ def build_model(cfg, dtype=None, window_attn_fn=None, deform_core_fn=None
         backbone = build_resnet(cfg, dtype=dtype)
     else:
         raise ValueError(f"unknown backbone {cfg.MODEL.BACKBONE.NAME}")
+    pixel_decoder = build_pixel_decoder(cfg, dtype=dtype,
+                                        core_fn=deform_core_fn)
+    if is_maskdino(cfg):
+        from vision_instance_seg_tpu.models.maskdino_decoder import (
+            build_maskdino_decoder)
+        return MaskDINO(backbone=backbone, pixel_decoder=pixel_decoder,
+                        predictor=build_maskdino_decoder(
+                            cfg, dtype=dtype, core_fn=deform_core_fn),
+                        dtype=dtype)
     return MaskFormer(
         backbone=backbone,
-        pixel_decoder=build_pixel_decoder(cfg, dtype=dtype,
-                                          core_fn=deform_core_fn),
+        pixel_decoder=pixel_decoder,
         predictor=build_transformer_decoder(cfg, dtype=dtype),
         dtype=dtype)
+
+
+def is_maskdino(cfg) -> bool:
+    return (cfg.MODEL.META_ARCHITECTURE == "MaskDINO"
+            or cfg.MODEL.MASK_DINO.ENABLED)
 
 
 def normalize_image(images: jnp.ndarray, cfg) -> jnp.ndarray:
@@ -112,18 +145,50 @@ def instance_inference(cls_logits: jnp.ndarray, mask_logits: jnp.ndarray,
             "mask_probs": probs}
 
 
-def make_inference_fn(model: MaskFormer, cfg):
+def maskdino_instance_inference(cls_logits: jnp.ndarray,
+                                mask_logits: jnp.ndarray,
+                                boxes: jnp.ndarray, num_classes: int,
+                                topk: int = 100) -> Dict[str, jnp.ndarray]:
+    """MaskDINO inference for ONE image: sigmoid scores, top-K over QxC.
+
+    cls_logits (Q, C) — no no-object channel; boxes (Q, 4) cxcywh in [0,1].
+    """
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    flat = scores.reshape(-1)
+    k = min(topk, flat.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    query_idx = top_idx // num_classes
+    labels = top_idx % num_classes
+    masks = mask_logits[query_idx].astype(jnp.float32)
+    probs = jax.nn.sigmoid(masks)
+    binm = (probs > 0.5).astype(jnp.float32)
+    mask_score = (probs * binm).sum((1, 2)) / (binm.sum((1, 2)) + 1e-6)
+    from vision_instance_seg_tpu.models.box_ops import box_cxcywh_to_xyxy
+    return {"scores": top_scores * mask_score,
+            "labels": labels,
+            "mask_probs": probs,
+            "boxes": box_cxcywh_to_xyxy(boxes[query_idx])}
+
+
+def make_inference_fn(model, cfg):
     """Jitted batch inference: batch dict -> per-image top-K instances."""
     num_classes = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
     topk = cfg.TEST.DETECTIONS_PER_IMAGE
+    dino = isinstance(model, MaskDINO)
 
     def infer(params, images):
         images = normalize_image(images, cfg)
+        if dino:
+            out = model.apply(params, images, deterministic=True)
+            return jax.vmap(
+                lambda c, m, bx: maskdino_instance_inference(
+                    c, m, bx, num_classes, topk)
+            )(out["pred_logits"][-1], out["pred_masks"][-1],
+              out["pred_boxes"][-1])
         cls_layers, mask_layers = model.apply(params, images,
                                               deterministic=True)
-        cls_f, mask_f = cls_layers[-1], mask_layers[-1]
         return jax.vmap(
             lambda c, m: instance_inference(c, m, num_classes, topk)
-        )(cls_f, mask_f)
+        )(cls_layers[-1], mask_layers[-1])
 
     return jax.jit(infer)

@@ -34,17 +34,25 @@ from flax import linen as nn
 from vision_instance_seg_tpu.models.layers import (
     DropPath, LayerNorm, Mlp, trunc_normal_init)
 
-# Signature: (q, k, v, bias, scale) -> out
-#   q,k,v: (num_windows_total, num_heads, tokens, head_dim)
-#   bias:  (num_windows_total, num_heads, tokens, tokens) additive
+# Signature: (q, k, v, rel_bias, shift_mask, scale, num_windows) -> out
+#   q,k,v:      (num_windows_total, num_heads, tokens, head_dim)
+#   rel_bias:   (num_heads, tokens, tokens) additive (relative position)
+#   shift_mask: (num_windows_per_image, tokens, tokens) additive, or None
 AttnFn = Callable[..., jnp.ndarray]
 
 
-def reference_window_attention(q, k, v, bias, scale) -> jnp.ndarray:
+def reference_window_attention(q, k, v, rel_bias, shift_mask, scale,
+                               num_windows) -> jnp.ndarray:
     """Plain-jnp window attention; the numerical golden for the Pallas kernel."""
+    nwt, nh, n, _ = q.shape
     attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
                       preferred_element_type=jnp.float32)
-    attn = attn + bias.astype(jnp.float32)
+    attn = attn + rel_bias[None].astype(jnp.float32)
+    if shift_mask is not None:
+        nw = shift_mask.shape[0]
+        m = shift_mask[None, :, None].astype(jnp.float32)  # 1, nW, 1, N, N
+        attn = (attn.reshape(nwt // nw, nw, nh, n, n) + m
+                ).reshape(nwt, nh, n, n)
     attn = jax.nn.softmax(attn, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
@@ -103,7 +111,8 @@ class WindowAttention(nn.Module):
     attn_fn: Optional[AttnFn] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
+                 num_windows: int) -> jnp.ndarray:
         # x: (nW_total, N, C); mask: (nW, N, N) or None
         nwt, n, c = x.shape
         nh = self.num_heads
@@ -122,15 +131,8 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(nwt, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]                 # (nWt, nH, N, hd)
 
-        full_bias = jnp.broadcast_to(bias[None], (nwt, nh, n, n))
-        if mask is not None:
-            nw = mask.shape[0]
-            m = mask[None, :, None].astype(jnp.float32)  # 1, nW, 1, N, N
-            full_bias = (full_bias.reshape(nwt // nw, nw, nh, n, n) + m
-                         ).reshape(nwt, nh, n, n)
-
         attn = (self.attn_fn or reference_window_attention)(
-            q, k, v, full_bias, scale)
+            q, k, v, bias, mask, scale, num_windows)
         out = attn.transpose(0, 2, 1, 3).reshape(nwt, n, c)
         return nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init(),
                         name="proj")(out)
@@ -164,7 +166,8 @@ class SwinBlock(nn.Module):
         xw = window_partition(x, ws)
         xw = WindowAttention(
             self.dim, self.num_heads, ws, self.qkv_bias, self.qk_scale,
-            dtype=self.dtype, attn_fn=self.attn_fn, name="attn")(xw, mask)
+            dtype=self.dtype, attn_fn=self.attn_fn, name="attn")(
+            xw, mask, (h // ws) * (w // ws))
         x = window_unpartition(xw, ws, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
