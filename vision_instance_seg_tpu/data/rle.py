@@ -109,7 +109,14 @@ def encode(mask: np.ndarray) -> Union[RLEObj, List[RLEObj]]:
     if mask.ndim == 3:
         return [encode(mask[:, :, i]) for i in range(mask.shape[2])]
     h, w = mask.shape
-    return {"size": [int(h), int(w)], "counts": counts_to_string(_mask_to_counts(mask))}
+    from vision_instance_seg_tpu.data import native
+    c = native.mask_to_counts(mask)
+    if c is None:
+        c = _mask_to_counts(mask)
+    s = native.counts_to_string(c)
+    if s is None:
+        s = counts_to_string(c)
+    return {"size": [int(h), int(w)], "counts": s}
 
 
 def decode(rle: Union[RLEObj, List[RLEObj]]) -> np.ndarray:
@@ -187,11 +194,25 @@ def merge(rles: List[RLEObj], intersect: bool = False) -> RLEObj:
         return {"size": [0, 0], "counts": b"0"}
     if len(rles) == 1:
         return _as_compressed(rles[0])
+    from vision_instance_seg_tpu.data import native
+    if native.get_lib() is not None:
+        h, w = (int(v) for v in rles[0]["size"])
+        cs = [_rle_counts(r) for r in rles]
+        merged = native.rle_merge(cs, h * w, intersect)
+        s = native.counts_to_string(merged)
+        return {"size": [h, w], "counts": s}
     m = decode(rles[0]).astype(bool)
     for r in rles[1:]:
         other = decode(r).astype(bool)
         m = (m & other) if intersect else (m | other)
     return encode(m.astype(np.uint8))
+
+
+def _rle_counts(rle: RLEObj) -> np.ndarray:
+    c = rle["counts"]
+    if isinstance(c, (bytes, str)):
+        return string_to_counts(c)
+    return np.asarray(c, dtype=np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -373,6 +394,12 @@ def _rle_iou(dt: List[RLEObj], gt: List[RLEObj], iscrowd: np.ndarray) -> np.ndar
     out = np.zeros((m, n), dtype=np.float64)
     if m == 0 or n == 0:
         return out
+    from vision_instance_seg_tpu.data import native
+    if native.get_lib() is not None:
+        crowd = np.zeros(n, np.uint8)
+        crowd[:iscrowd.size] = np.asarray(iscrowd, np.uint8)[:n]
+        return native.rle_iou([_rle_counts(d) for d in dt],
+                              [_rle_counts(g) for g in gt], crowd)
     dmasks = [decode(d).astype(bool) for d in dt]
     gmasks = [decode(g).astype(bool) for g in gt]
     dareas = [int(x.sum()) for x in dmasks]
