@@ -1,0 +1,119 @@
+"""Engine tests: solver schedules, checkpoint roundtrip, mesh, comm."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_instance_seg_tpu.config import get_cfg
+
+
+class TestLRSchedule:
+    def test_warmup_multistep(self):
+        from vision_instance_seg_tpu.engine.solver import make_lr_schedule
+
+        cfg = get_cfg()
+        cfg.SOLVER.BASE_LR = 1e-4
+        cfg.SOLVER.WARMUP_ITERS = 100
+        cfg.SOLVER.WARMUP_FACTOR = 1e-3
+        cfg.SOLVER.STEPS = [800, 900]
+        cfg.SOLVER.GAMMA = 0.1
+        s = make_lr_schedule(cfg)
+        assert float(s(0)) == pytest.approx(1e-7, rel=1e-3)
+        assert float(s(100)) == pytest.approx(1e-4, rel=1e-3)
+        assert float(s(500)) == pytest.approx(1e-4, rel=1e-3)
+        assert float(s(850)) == pytest.approx(1e-5, rel=1e-3)
+        assert float(s(950)) == pytest.approx(1e-6, rel=1e-3)
+
+    def test_warmup_cosine(self):
+        from vision_instance_seg_tpu.engine.solver import make_lr_schedule
+
+        cfg = get_cfg()
+        cfg.SOLVER.LR_SCHEDULER_NAME = "WarmupCosineLR"
+        cfg.SOLVER.BASE_LR = 1e-4
+        cfg.SOLVER.WARMUP_ITERS = 10
+        cfg.SOLVER.MAX_ITER = 1000
+        s = make_lr_schedule(cfg)
+        assert float(s(10)) == pytest.approx(1e-4, rel=1e-3)
+        assert float(s(505)) == pytest.approx(5e-5, rel=0.02)
+        assert float(s(1000)) == pytest.approx(0.0, abs=1e-9)
+
+
+class TestParamLabels:
+    def test_backbone_and_nodecay(self):
+        from vision_instance_seg_tpu.engine.solver import _param_labels
+
+        params = {"params": {
+            "backbone": {"stage0_block0": {
+                "attn": {"qkv": {"kernel": np.zeros(1), "bias": np.zeros(1)},
+                         "relative_position_bias_table": np.zeros(1)},
+                "norm1": {"scale": np.zeros(1), "bias": np.zeros(1)}}},
+            "predictor": {"query_feat": np.zeros(1),
+                          "layer0_ffn1": {"kernel": np.zeros(1),
+                                          "bias": np.zeros(1)}}}}
+        labels = _param_labels(params)
+        p = labels["params"]
+        assert p["backbone"]["stage0_block0"]["attn"]["qkv"]["kernel"] == "backbone"
+        assert p["backbone"]["stage0_block0"]["attn"]["qkv"]["bias"] == \
+            "backbone_nodecay"
+        assert p["backbone"]["stage0_block0"]["attn"][
+            "relative_position_bias_table"] == "backbone_nodecay"
+        assert p["backbone"]["stage0_block0"]["norm1"]["scale"] == \
+            "backbone_nodecay"
+        assert p["predictor"]["query_feat"] == "nodecay"
+        assert p["predictor"]["layer0_ffn1"]["kernel"] == "main"
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from vision_instance_seg_tpu.engine.checkpoint import (
+            latest_checkpoint, load_checkpoint, save_checkpoint)
+        from vision_instance_seg_tpu.engine.trainer import TrainState
+
+        state = TrainState(
+            step=jnp.asarray(7, jnp.int32),
+            params={"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+            opt_state={"m": jnp.ones((2, 3))})
+        d = str(tmp_path / "ckpts")
+        save_checkpoint(d, state, 7)
+        save_checkpoint(d, state.replace(step=jnp.asarray(9, jnp.int32)), 9)
+        latest = latest_checkpoint(d)
+        assert latest.endswith("ckpt_9")
+        zero = TrainState(step=jnp.zeros((), jnp.int32),
+                          params={"w": jnp.zeros((2, 3))},
+                          opt_state={"m": jnp.zeros((2, 3))})
+        restored = load_checkpoint(latest, zero)
+        assert int(restored.step) == 9
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                      np.arange(6).reshape(2, 3))
+
+    def test_final_preferred(self, tmp_path):
+        from vision_instance_seg_tpu.engine.checkpoint import (
+            latest_checkpoint, save_checkpoint)
+        from vision_instance_seg_tpu.engine.trainer import TrainState
+
+        state = TrainState(step=jnp.zeros((), jnp.int32),
+                           params={"w": jnp.zeros(2)}, opt_state={})
+        d = str(tmp_path / "c")
+        save_checkpoint(d, state, 5)
+        save_checkpoint(d, state, "final")
+        assert latest_checkpoint(d).endswith("ckpt_final")
+
+
+class TestMesh:
+    def test_data_axis_respects_batch(self):
+        from vision_instance_seg_tpu.parallel.mesh import make_mesh
+
+        cfg = get_cfg()
+        mesh = make_mesh(cfg, batch_size=2)
+        assert mesh.shape["data"] == 2
+        mesh8 = make_mesh(cfg, batch_size=16)
+        assert mesh8.shape["data"] == 8
+
+    def test_comm_single_host(self):
+        from vision_instance_seg_tpu.parallel import comm
+
+        assert comm.process_count() == 1
+        assert comm.is_main_process()
+        comm.barrier()
+        assert comm.all_gather_objects({"x": 1}) == [{"x": 1}]

@@ -46,3 +46,31 @@ class TestFusedWindowAttention:
 
     def test_small_tokens(self):
         self._run(b=1, nw=2, nh=1, n=16, hd=8, shift=True)
+
+    def test_gradients_match_reference(self):
+        from vision_instance_seg_tpu.kernels.window_attention import (
+            fused_window_attention)
+        from vision_instance_seg_tpu.models.swin import (
+            reference_window_attention)
+
+        rng = np.random.default_rng(3)
+        nw, nh, n, hd = 2, 2, 16, 8
+        q = jnp.asarray(rng.normal(size=(nw, nh, n, hd)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(nw, nh, n, hd)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(nw, nh, n, hd)), jnp.float32)
+        rel = jnp.asarray(rng.normal(size=(nh, n, n)), jnp.float32)
+        scale = hd ** -0.5
+
+        def loss_ref(q, k, v, rel):
+            return jnp.sum(reference_window_attention(
+                q, k, v, rel, None, scale, nw) ** 2)
+
+        def loss_pal(q, k, v, rel):
+            return jnp.sum(fused_window_attention(
+                q, k, v, rel, None, scale, nw, interpret=True) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, rel)
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(q, k, v, rel)
+        for a, b in zip(g_ref, g_pal):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-3)

@@ -192,6 +192,23 @@ class TestCriterion:
         assert np.isfinite(float(loss))
 
 
+class TestFullAttentionEncoder:
+    def test_forward_matches_shapes(self):
+        """ENCODER_ATTENTION=full produces the same output structure."""
+        from vision_instance_seg_tpu.models import build_model, normalize_image
+
+        cfg = tiny_cfg()
+        cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "full"
+        model = build_model(cfg)
+        x = jnp.zeros((1, 64, 64, 3))
+        params = jax.jit(model.init)(jax.random.key(0),
+                                     normalize_image(x, cfg))
+        cls, masks = model.apply(params, x)
+        assert cls.shape[-2:] == (8, 2)
+        assert masks.shape[-2:] == (16, 16)
+        assert np.isfinite(np.asarray(cls)).all()
+
+
 def tiny_dino_cfg():
     cfg = tiny_cfg()
     cfg.MODEL.MASK_DINO.ENABLED = True

@@ -73,6 +73,9 @@ def get_cfg() -> CN:
     _C.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = 4  # scales in the encoder (MaskDINO 4s)
     _C.MODEL.SEM_SEG_HEAD.DEFORM_NUM_POINTS = 4
     _C.MODEL.SEM_SEG_HEAD.DEFORM_NUM_HEADS = 8
+    # encoder token mixer: "deformable" (reference parity) or "full"
+    # (dense flash attention — faster on TPU at 640-800px, see CLAUDE.md)
+    _C.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "deformable"
 
     # Mask2Former head (reference gets this from Mask2Former/MaskDINO yaml)
     _C.MODEL.MASK_FORMER = CN()

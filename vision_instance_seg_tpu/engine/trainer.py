@@ -167,25 +167,47 @@ class Trainer:
         last_logs: Dict[str, float] = {}
         t_start = time.time()
         step_times = []
-        for it in range(self.start_iter, max_iter):
-            batch = shard_batch(next(data_iter), self.mesh)
-            t0 = time.time()
-            self.state, logs = self.train_step(self.state, batch, self.rng)
-            if it % log_period == 0 or it == max_iter - 1:
-                logs = {k: float(v) for k, v in logs.items()}
-                logs["lr"] = float(self.schedule(it))
-                jax.block_until_ready(self.state.params)
-                logs["step_time_s"] = time.time() - t0
-                step_times.append(logs["step_time_s"])
-                last_logs = logs
-                logger.info("iter %d/%d %s", it, max_iter,
-                            " ".join(f"{k}={v:.4g}" for k, v in logs.items()))
-                with open(self._metrics_file, "a") as f:
-                    f.write(json.dumps({"iteration": it, **logs}) + "\n")
-            if (it + 1) % int(cfg.SOLVER.CHECKPOINT_PERIOD) == 0:
-                self.save_checkpoint()
-            for hook in self.hooks:
-                hook(it, last_logs)
+        profiling = False
+        try:
+            for it in range(self.start_iter, max_iter):
+                if cfg.TPU.PROFILE and it == self.start_iter + 10:
+                    # trace a steady-state window (skip compile iterations)
+                    jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
+                    profiling = True
+                if profiling and it == self.start_iter + 15:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("profiler trace written to %s",
+                                cfg.TPU.PROFILE_DIR)
+                batch = shard_batch(next(data_iter), self.mesh)
+                t0 = time.time()
+                self.state, logs = self.train_step(self.state, batch,
+                                                   self.rng)
+                if it % log_period == 0 or it == max_iter - 1:
+                    logs = {k: float(v) for k, v in logs.items()}
+                    logs["lr"] = float(self.schedule(it))
+                    jax.block_until_ready(self.state.params)
+                    logs["step_time_s"] = time.time() - t0
+                    step_times.append(logs["step_time_s"])
+                    last_logs = logs
+                    logger.info(
+                        "iter %d/%d %s", it, max_iter,
+                        " ".join(f"{k}={v:.4g}" for k, v in logs.items()))
+                    with open(self._metrics_file, "a") as f:
+                        f.write(json.dumps({"iteration": it, **logs}) + "\n")
+                if (it + 1) % int(cfg.SOLVER.CHECKPOINT_PERIOD) == 0:
+                    self.save_checkpoint()
+                for hook in self.hooks:
+                    hook(it, last_logs)
+        except KeyboardInterrupt:
+            # preemption-safe: persist progress before propagating
+            logger.warning("interrupted at iter %d — saving checkpoint",
+                           int(self.state.step))
+            self.save_checkpoint()
+            raise
+        finally:
+            if profiling:
+                jax.profiler.stop_trace()
         self.save_checkpoint("final")
         last_logs["total_time_s"] = time.time() - t_start
         return last_logs

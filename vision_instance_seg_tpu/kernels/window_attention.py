@@ -82,7 +82,6 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _fused_window_attention_impl(q, k, v, rel_bias, shift_mask, *,
                                  scale: float, interpret: bool = False):
     """q/k/v (B, nW, nH, N, hd); rel_bias (nH, N, N);
@@ -137,19 +136,60 @@ def _fused_window_attention_impl(q, k, v, rel_bias, shift_mask, *,
     return out
 
 
+# ---------------------------------------------------------------------------
+# custom VJP: Pallas forward, jnp backward (standard attention gradients,
+# recomputed from the residuals — no attention matrix is saved from fwd)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_wa(q, k, v, rel_bias, shift_mask, scale, interpret):
+    return _fused_window_attention_impl(q, k, v, rel_bias, shift_mask,
+                                        scale=scale, interpret=interpret)
+
+
+def _fused_wa_fwd(q, k, v, rel_bias, shift_mask, scale, interpret):
+    out = _fused_wa(q, k, v, rel_bias, shift_mask, scale, interpret)
+    return out, (q, k, v, rel_bias, shift_mask)
+
+
+def _fused_wa_bwd(scale, interpret, res, g):
+    q, k, v, rel_bias, shift_mask = res
+    # (B, nW, nH, N, hd) f32 math
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    s = jnp.einsum("bwhqd,bwhkd->bwhqk", qf * scale, kf)
+    bias = rel_bias[None, None].astype(jnp.float32) \
+        + shift_mask[None, :, None].astype(jnp.float32)
+    p = jax.nn.softmax(s + bias, axis=-1)
+    dv = jnp.einsum("bwhqk,bwhqd->bwhkd", p, gf)
+    dp = jnp.einsum("bwhqd,bwhkd->bwhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bwhqk,bwhkd->bwhqd", ds, kf) * scale
+    dk = jnp.einsum("bwhqk,bwhqd->bwhkd", ds, qf) * scale
+    drel = ds.sum((0, 1))                       # (nH, N, N)
+    dmask = ds.sum((0, 2))                      # (nW, N, N)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            drel.astype(rel_bias.dtype), dmask.astype(shift_mask.dtype))
+
+
+_fused_wa.defvjp(_fused_wa_fwd, _fused_wa_bwd)
+
+
 def fused_window_attention(q, k, v, rel_bias,
                            shift_mask: Optional[jnp.ndarray],
                            scale: float, num_windows: int,
                            interpret: bool = False):
     """AttnFn entry (models/swin.py contract): q/k/v (nWt, nH, N, hd),
     nWt = B*num_windows; rel_bias (nH, N, N);
-    shift_mask (num_windows, N, N) or None."""
+    shift_mask (num_windows, N, N) or None. Differentiable (custom VJP:
+    Pallas forward, recomputed-attention jnp backward)."""
     nwt, nh, n, hd = q.shape
     b = nwt // num_windows
     shp = (b, num_windows, nh, n, hd)
     if shift_mask is None:
         shift_mask = jnp.zeros((num_windows, n, n), jnp.float32)
-    out = _fused_window_attention_impl(
-        q.reshape(shp), k.reshape(shp), v.reshape(shp),
-        rel_bias, shift_mask, scale=float(scale), interpret=interpret)
+    out = _fused_wa(q.reshape(shp), k.reshape(shp), v.reshape(shp),
+                    rel_bias, shift_mask, float(scale), interpret)
     return out.reshape(nwt, nh, n, hd)

@@ -53,6 +53,74 @@ class DeformableEncoderLayer(nn.Module):
         return LayerNorm(dtype=self.dtype, name="norm2")(src + y)
 
 
+def _flash_or_dense_attention(q, k, v, scale: float):
+    """(B, nH, S, hd) self-attention: TPU flash-attention Pallas kernel when
+    available, dense jnp otherwise (CPU tests / tiny sequences)."""
+    b, nh, s, hd = q.shape
+    use_flash = (jax.default_backend() == "tpu" and s >= 1024
+                 and hd in (32, 64, 128))
+    if use_flash:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention)
+
+        sp = -(-s // 512) * 512
+        pad = sp - s
+        if pad:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            seg = jnp.where(jnp.arange(sp) < s, 1, 2).astype(jnp.int32)
+            seg = jnp.broadcast_to(seg[None], (b, sp))
+            out = flash_attention(q, k, v,
+                                  segment_ids=SegmentIds(q=seg, kv=seg),
+                                  sm_scale=scale)
+            return out[:, :, :s]
+        return flash_attention(q, k, v, sm_scale=scale)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+class FullAttentionEncoderLayer(nn.Module):
+    """Dense self-attention encoder layer over the multi-scale tokens.
+
+    TPU-native alternative to deformable sampling (config
+    SEM_SEG_HEAD.ENCODER_ATTENTION="full"): at 640-800px the concatenated
+    sequence is ~8-13k tokens, where dense MXU attention via the flash-
+    attention Pallas kernel is faster on TPU than scattered bilinear
+    gathers (deformable attention is a GPU-era compute-saving
+    approximation; dense attention is strictly more expressive).
+    """
+
+    dim: int = 256
+    num_heads: int = 8
+    ffn_dim: int = 1024
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes):
+        del reference_points, spatial_shapes
+        b, s, c = src.shape
+        nh = self.num_heads
+        hd = c // nh
+        q = nn.Dense(c, dtype=self.dtype, name="q_proj")(src + pos)
+        k = nn.Dense(c, dtype=self.dtype, name="k_proj")(src + pos)
+        v = nn.Dense(c, dtype=self.dtype, name="v_proj")(src)
+        q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        out = _flash_or_dense_attention(q, k, v, hd ** -0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, c)
+        attn = nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+        src = LayerNorm(dtype=self.dtype, name="norm1")(src + attn)
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(src)
+        y = nn.relu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(y)
+        return LayerNorm(dtype=self.dtype, name="norm2")(src + y)
+
+
 def _encoder_reference_points(spatial_shapes: Sequence[Tuple[int, int]]
                               ) -> np.ndarray:
     """(sum HW, L, 2) normalized pixel-center reference points (static)."""
@@ -83,6 +151,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     ffn_dim: int = 1024
     common_stride: int = 4
     num_decoder_levels: int = 3
+    encoder_attention: str = "deformable"   # "deformable" | "full"
     dtype: jnp.dtype = jnp.float32
     core_fn: Optional[DeformCoreFn] = None
 
@@ -116,10 +185,17 @@ class MSDeformAttnPixelDecoder(nn.Module):
         ref = jnp.broadcast_to(ref[None], (b,) + ref.shape)
 
         for li in range(self.num_encoder_layers):
-            src = DeformableEncoderLayer(
-                self.conv_dim, self.num_heads, num_levels, self.num_points,
-                self.ffn_dim, dtype=self.dtype, core_fn=self.core_fn,
-                name=f"encoder_layer{li}")(src, pos, ref, shapes)
+            if self.encoder_attention == "full":
+                src = FullAttentionEncoderLayer(
+                    self.conv_dim, self.num_heads, self.ffn_dim,
+                    dtype=self.dtype,
+                    name=f"encoder_layer{li}")(src, pos, ref, shapes)
+            else:
+                src = DeformableEncoderLayer(
+                    self.conv_dim, self.num_heads, num_levels,
+                    self.num_points, self.ffn_dim, dtype=self.dtype,
+                    core_fn=self.core_fn,
+                    name=f"encoder_layer{li}")(src, pos, ref, shapes)
 
         # split back to maps (level 0 = lowest res)
         outs = []
@@ -170,4 +246,5 @@ def build_pixel_decoder(cfg, dtype=jnp.float32,
         num_heads=s.DEFORM_NUM_HEADS, num_points=s.DEFORM_NUM_POINTS,
         common_stride=s.COMMON_STRIDE,
         num_decoder_levels=s.NUM_FEATURE_LEVELS,
+        encoder_attention=s.get("ENCODER_ATTENTION", "deformable"),
         dtype=dtype, core_fn=core_fn)

@@ -1,0 +1,71 @@
+"""Thin host-side communication helpers (multi-host SPMD).
+
+The reference gets cross-process result gathering implicitly from
+detectron2's ``comm`` (used by COCOEvaluator under DDP — SURVEY.md §2.3
+"expose a thin comm module"). Here the equivalents ride
+``jax.experimental.multihost_utils`` over the JAX distributed runtime:
+
+- ``initialize()``: `jax.distributed.initialize` when env vars are present
+  (no-op single-host).
+- ``barrier(name)``: sync all hosts.
+- ``all_gather_objects(obj)``: gather arbitrary picklable objects from all
+  hosts (used to merge per-host COCO detection lists before evaluation).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, List
+
+import jax
+import numpy as np
+
+
+def initialize() -> bool:
+    """Start the distributed runtime if a coordinator is configured."""
+    if jax.process_count() > 1:
+        return True
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def barrier(name: str = "barrier") -> None:
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def all_gather_objects(obj: Any) -> List[Any]:
+    """Gather a picklable object from every host (ordered by process index)."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    # pad to the max payload size across hosts
+    size = np.array([payload.size], np.int32)
+    sizes = multihost_utils.process_allgather(size).reshape(-1)
+    maxlen = int(sizes.max())
+    padded = np.zeros(maxlen, np.uint8)
+    padded[:payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    return [pickle.loads(gathered[i, :int(sizes[i])].tobytes())
+            for i in range(jax.process_count())]
