@@ -209,6 +209,54 @@ class TestFullAttentionEncoder:
         assert np.isfinite(np.asarray(cls)).all()
 
 
+class TestWindowEncoder:
+    def test_forward_matches_shapes(self):
+        """ENCODER_ATTENTION=window produces the same output structure."""
+        from vision_instance_seg_tpu.models import build_model, normalize_image
+
+        cfg = tiny_cfg()
+        cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "window"
+        cfg.MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS = 2  # W-MSA + SW-MSA
+        model = build_model(cfg)
+        x = jax.random.normal(jax.random.key(1), (1, 64, 64, 3)) * 30 + 100
+        params = jax.jit(model.init)(jax.random.key(0),
+                                     normalize_image(x, cfg))
+        cls, masks = model.apply(params, normalize_image(x, cfg))
+        assert cls.shape[-2:] == (8, 2)
+        assert masks.shape[-2:] == (16, 16)
+        assert np.isfinite(np.asarray(cls)).all()
+        assert np.isfinite(np.asarray(masks)).all()
+
+    def test_pad_shift_mask_blocks_pads(self):
+        from vision_instance_seg_tpu.models.pixel_decoder import (
+            _window_pad_shift_mask)
+
+        # 5x5 level, ws=4 -> padded to 8x8, 4 windows; window 0 is all-real
+        m = _window_pad_shift_mask(5, 5, 4, 0)
+        assert m.shape == (4, 16, 16)
+        assert (m[0] == 0).all()
+        # window 1 (cols 4-7): cols 5-7 are pad -> real col 4 must not see
+        # padded neighbours and vice versa
+        w1 = m[1].reshape(16, 16)
+        real = [r * 4 + 0 for r in range(4)]   # local col 0 = global col 4
+        for i in real:
+            for j in range(16):
+                expect = 0.0 if j in real else -100.0
+                assert w1[i, j] == expect
+
+    def test_shifted_mask_matches_roll_semantics(self):
+        from vision_instance_seg_tpu.models.pixel_decoder import (
+            _window_pad_shift_mask)
+
+        m = _window_pad_shift_mask(8, 8, 4, 2)
+        assert m.shape == (4, 16, 16)
+        # shifted windows mix pre-shift regions -> some pairs masked
+        assert (m == -100.0).any()
+        # unmasked diagonal everywhere (a token always attends to itself)
+        for wi in range(4):
+            assert (np.diag(m[wi]) == 0).all()
+
+
 def tiny_dino_cfg():
     cfg = tiny_cfg()
     cfg.MODEL.MASK_DINO.ENABLED = True

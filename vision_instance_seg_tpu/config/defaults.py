@@ -75,7 +75,10 @@ def get_cfg() -> CN:
     _C.MODEL.SEM_SEG_HEAD.DEFORM_NUM_HEADS = 8
     # encoder token mixer: "deformable" (reference parity) or "full"
     # (dense flash attention — faster on TPU at 640-800px, see CLAUDE.md)
+    # "deformable" (reference parity), "full" (dense flash attention),
+    # "window" (TPU-native: Pallas windowed attention + cross-scale fusion)
     _C.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "deformable"
+    _C.MODEL.SEM_SEG_HEAD.ENCODER_WINDOW_SIZE = 8
 
     # Mask2Former head (reference gets this from Mask2Former/MaskDINO yaml)
     _C.MODEL.MASK_FORMER = CN()

@@ -92,7 +92,8 @@ def build_model(cfg, dtype=None, window_attn_fn=None, deform_core_fn=None
     else:
         raise ValueError(f"unknown backbone {cfg.MODEL.BACKBONE.NAME}")
     pixel_decoder = build_pixel_decoder(cfg, dtype=dtype,
-                                        core_fn=deform_core_fn)
+                                        core_fn=deform_core_fn,
+                                        attn_fn=window_attn_fn)
     if is_maskdino(cfg):
         from vision_instance_seg_tpu.models.maskdino_decoder import (
             build_maskdino_decoder)

@@ -28,6 +28,9 @@ from flax import linen as nn
 from vision_instance_seg_tpu.models.deform_attn import DeformCoreFn, MSDeformAttn
 from vision_instance_seg_tpu.models.layers import (
     LayerNorm, position_embedding_sine, trunc_normal_init)
+from vision_instance_seg_tpu.models.swin import (
+    AttnFn, _relative_position_index, reference_window_attention,
+    window_partition, window_unpartition)
 
 
 class DeformableEncoderLayer(nn.Module):
@@ -121,6 +124,135 @@ class FullAttentionEncoderLayer(nn.Module):
         return LayerNorm(dtype=self.dtype, name="norm2")(src + y)
 
 
+def _window_pad_shift_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """Static additive mask (nW, ws^2, ws^2) for one encoder level.
+
+    Combines the Swin shifted-window region mask with masking of the
+    right/bottom padding that rounds (h, w) up to window multiples: a real
+    token never attends to a padded or cross-region token. Uses -100 (not
+    -inf) so all-masked rows (pure-pad windows) stay NaN-free; padded query
+    rows are cropped after unpartition.
+    """
+    hp = -(-h // ws) * ws
+    wp = -(-w // ws) * ws
+    region = np.zeros((hp, wp), np.int32)
+    if shift:
+        cnt = 0
+        for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+                region[hs, wsl] = cnt
+                cnt += 1
+    pad = np.zeros((hp, wp), np.int32)
+    pad[h:, :] = 1
+    pad[:, w:] = 1
+    if shift:  # x is rolled by (-shift, -shift) after padding; mirror that
+        pad = np.roll(pad, (-shift, -shift), (0, 1))
+    lab = region + 10 * pad
+    lab = lab.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
+    lab = lab.reshape(-1, ws * ws)                       # nW, N
+    diff = lab[:, :, None] != lab[:, None, :]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+class WindowEncoderLayer(nn.Module):
+    """TPU-native multi-scale encoder layer: windowed intra-level attention
+    + per-layer cross-scale fusion.
+
+    Replaces the role of the reference's deformable encoder layer (MaskDINO
+    MSDeformAttn encoder, reference train_original.py:29) with operations
+    that map onto the MXU instead of scattered bilinear gathers: each level
+    runs local window attention (the fused Pallas window kernel — the same
+    one as the Swin backbone — packs two windows per 128-row MXU tile),
+    windows shift by ws/2 on alternate layers for cross-window flow, and a
+    cross-scale step resizes all levels to each level's grid and mixes them
+    with a Dense projection (deformable attention's cross-level sampling,
+    done densely — resize + 1x1 conv are XLA-native and cheap).
+    """
+
+    dim: int = 256
+    num_heads: int = 8
+    ffn_dim: int = 1024
+    window_size: int = 8
+    shift: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[AttnFn] = None
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes):
+        del reference_points
+        b, s, c = src.shape
+        nh, ws = self.num_heads, self.window_size
+        hd = c // nh
+        shift = ws // 2 if self.shift else 0
+
+        # shared relative-position bias (window geometry identical per level)
+        table = self.param("relative_position_bias_table", trunc_normal_init(),
+                           ((2 * ws - 1) ** 2, nh), jnp.float32)
+        rel_idx = jnp.asarray(_relative_position_index(ws))
+        rel_bias = table[rel_idx.reshape(-1)].reshape(ws * ws, ws * ws, nh)
+        rel_bias = rel_bias.transpose(2, 0, 1)            # nH, N, N
+
+        qk_src = src + pos
+        wq = nn.Dense(c, dtype=self.dtype, name="q_proj")
+        wk = nn.Dense(c, dtype=self.dtype, name="k_proj")
+        wv = nn.Dense(c, dtype=self.dtype, name="v_proj")
+        attn_fn = self.attn_fn or reference_window_attention
+
+        outs, offset = [], 0
+        for li, (h, w) in enumerate(spatial_shapes):
+            xq = qk_src[:, offset:offset + h * w].reshape(b, h, w, c)
+            xv = src[:, offset:offset + h * w].reshape(b, h, w, c)
+            offset += h * w
+            hp, wp = -(-h // ws) * ws, -(-w // ws) * ws
+            padding = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+            xq = jnp.pad(xq, padding)
+            xv = jnp.pad(xv, padding)
+            if shift:
+                xq = jnp.roll(xq, (-shift, -shift), (1, 2))
+                xv = jnp.roll(xv, (-shift, -shift), (1, 2))
+            n = ws * ws
+            nw = (hp // ws) * (wp // ws)
+            q = wq(window_partition(xq, ws))              # (B*nW, N, C)
+            k = wk(window_partition(xq, ws))
+            v = wv(window_partition(xv, ws))
+            q = q.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3)
+            mask = jnp.asarray(_window_pad_shift_mask(h, w, ws, shift))
+            o = attn_fn(q, k, v, rel_bias, mask, hd ** -0.5, nw)
+            o = o.transpose(0, 2, 1, 3).reshape(-1, n, c)
+            o = window_unpartition(o, ws, hp, wp)
+            if shift:
+                o = jnp.roll(o, (shift, shift), (1, 2))
+            outs.append(o[:, :h, :w])
+
+        attn = jnp.concatenate(
+            [o.reshape(b, -1, c) for o in outs], axis=1)
+        attn = nn.Dense(c, dtype=self.dtype, name="out_proj")(attn)
+        src = LayerNorm(dtype=self.dtype, name="norm1")(src + attn)
+
+        # cross-scale fusion: every level sees every other level's features
+        maps, offset = [], 0
+        for (h, w) in spatial_shapes:
+            maps.append(src[:, offset:offset + h * w].reshape(b, h, w, c))
+            offset += h * w
+        mixed = []
+        for i, (h, w) in enumerate(spatial_shapes):
+            feats = [m if j == i else jax.image.resize(
+                m, (b, h, w, c), method="bilinear")
+                for j, m in enumerate(maps)]
+            y = nn.Dense(c, dtype=self.dtype, name=f"mix{i}")(
+                jnp.concatenate(feats, axis=-1))
+            mixed.append(y.reshape(b, h * w, c))
+        src = LayerNorm(dtype=self.dtype, name="norm2")(
+            src + jnp.concatenate(mixed, axis=1))
+
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(src)
+        y = nn.relu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(y)
+        return LayerNorm(dtype=self.dtype, name="norm3")(src + y)
+
+
 def _encoder_reference_points(spatial_shapes: Sequence[Tuple[int, int]]
                               ) -> np.ndarray:
     """(sum HW, L, 2) normalized pixel-center reference points (static)."""
@@ -151,9 +283,11 @@ class MSDeformAttnPixelDecoder(nn.Module):
     ffn_dim: int = 1024
     common_stride: int = 4
     num_decoder_levels: int = 3
-    encoder_attention: str = "deformable"   # "deformable" | "full"
+    encoder_attention: str = "deformable"   # "deformable" | "full" | "window"
+    encoder_window_size: int = 8
     dtype: jnp.dtype = jnp.float32
     core_fn: Optional[DeformCoreFn] = None
+    attn_fn: Optional[AttnFn] = None
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]):
@@ -185,7 +319,13 @@ class MSDeformAttnPixelDecoder(nn.Module):
         ref = jnp.broadcast_to(ref[None], (b,) + ref.shape)
 
         for li in range(self.num_encoder_layers):
-            if self.encoder_attention == "full":
+            if self.encoder_attention == "window":
+                src = WindowEncoderLayer(
+                    self.conv_dim, self.num_heads, self.ffn_dim,
+                    window_size=self.encoder_window_size, shift=bool(li % 2),
+                    dtype=self.dtype, attn_fn=self.attn_fn,
+                    name=f"encoder_layer{li}")(src, pos, ref, shapes)
+            elif self.encoder_attention == "full":
                 src = FullAttentionEncoderLayer(
                     self.conv_dim, self.num_heads, self.ffn_dim,
                     dtype=self.dtype,
@@ -235,7 +375,8 @@ class MSDeformAttnPixelDecoder(nn.Module):
 
 
 def build_pixel_decoder(cfg, dtype=jnp.float32,
-                        core_fn: Optional[DeformCoreFn] = None
+                        core_fn: Optional[DeformCoreFn] = None,
+                        attn_fn: Optional[AttnFn] = None
                         ) -> MSDeformAttnPixelDecoder:
     s = cfg.MODEL.SEM_SEG_HEAD
     return MSDeformAttnPixelDecoder(
@@ -247,4 +388,5 @@ def build_pixel_decoder(cfg, dtype=jnp.float32,
         common_stride=s.COMMON_STRIDE,
         num_decoder_levels=s.NUM_FEATURE_LEVELS,
         encoder_attention=s.get("ENCODER_ATTENTION", "deformable"),
-        dtype=dtype, core_fn=core_fn)
+        encoder_window_size=s.get("ENCODER_WINDOW_SIZE", 8),
+        dtype=dtype, core_fn=core_fn, attn_fn=attn_fn)
