@@ -264,6 +264,22 @@ def tiny_dino_cfg():
     return cfg
 
 
+class TestMaskDINODenseCrossAttn:
+    def test_forward_matches_shapes(self):
+        from vision_instance_seg_tpu.models import build_model, normalize_image
+
+        cfg = tiny_dino_cfg()
+        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
+        model = build_model(cfg)
+        x = jax.random.normal(jax.random.key(1), (1, 64, 64, 3)) * 30 + 100
+        params = jax.jit(model.init)(jax.random.key(0),
+                                     normalize_image(x, cfg))
+        out = model.apply(params, normalize_image(x, cfg))
+        assert out["pred_logits"].shape[-2:] == (8, 1)
+        assert np.isfinite(np.asarray(out["pred_logits"])).all()
+        assert np.isfinite(np.asarray(out["pred_masks"])).all()
+
+
 @pytest.fixture(scope="module")
 def tiny_dino_model():
     from vision_instance_seg_tpu.models import build_model, normalize_image

@@ -120,6 +120,9 @@ def get_cfg() -> CN:
     _C.MODEL.MASK_DINO.TWO_STAGE = True
     _C.MODEL.MASK_DINO.INITIAL_PRED = True
     _C.MODEL.MASK_DINO.LEARN_TGT = False
+    # decoder cross-attention: "deformable" (MaskDINO parity) or "dense"
+    # (TPU-native dense attention over the multi-scale tokens)
+    _C.MODEL.MASK_DINO.CROSS_ATTENTION = "deformable"
     _C.MODEL.MASK_DINO.INITIALIZE_BOX_TYPE = "no"
     _C.MODEL.MASK_DINO.SEMANTIC_CE_LOSS = False
 

@@ -35,7 +35,7 @@ from vision_instance_seg_tpu.models.box_ops import (
 from vision_instance_seg_tpu.models.deform_attn import (
     DeformCoreFn, MSDeformAttn)
 from vision_instance_seg_tpu.models.layers import (
-    LayerNorm, inverse_sigmoid, trunc_normal_init)
+    LayerNorm, inverse_sigmoid, position_embedding_sine, trunc_normal_init)
 from vision_instance_seg_tpu.models.transformer_decoder import (
     MLPHead, MultiheadAttention)
 
@@ -133,6 +133,10 @@ class MaskDINODecoder(nn.Module):
     dn_noise_scale: float = 0.4
     dn_label_noise_ratio: float = 0.2
     initial_pred: bool = True
+    # "deformable": MaskDINO-parity sparse sampling around reference boxes.
+    # "dense": TPU-native dense cross-attention over all multi-scale tokens
+    # (2 GFLOP/layer MXU matmuls instead of scattered bilinear gathers).
+    cross_attention: str = "deformable"
     dtype: jnp.dtype = jnp.float32
     core_fn: Optional[DeformCoreFn] = None
 
@@ -259,6 +263,17 @@ class MaskDINODecoder(nn.Module):
 
         ref_pos_head = MLPHead(c, c, 2, dtype=self.dtype,
                                name="ref_point_head")
+        kpos = None
+        if self.cross_attention == "dense":
+            # key positions: per-level sine embedding + learned level embed
+            lvl_embed = self.param("kpos_level_embed", trunc_normal_init(),
+                                   (len(shapes), c), jnp.float32)
+            kp = []
+            for lvl, (h, w) in enumerate(shapes):
+                p = position_embedding_sine(h, w, c, dtype=self.dtype)
+                kp.append(p.reshape(h * w, c)
+                          + lvl_embed[lvl].astype(self.dtype))
+            kpos = jnp.concatenate(kp, axis=0)[None]     # (1, S, C)
         for li in range(self.dec_layers):
             # query pos embedding from current reference boxes (sine of 4d)
             qpos = ref_pos_head(_box_pos_embed(refs, c).astype(self.dtype))
@@ -268,14 +283,19 @@ class MaskDINODecoder(nn.Module):
                 x + qpos, x + qpos, x, attn_bias)
             x = LayerNorm(dtype=self.dtype, name=f"layer{li}_norm1")(x + y)
 
-            ref4 = jnp.broadcast_to(
-                refs[:, :, None, :],
-                refs.shape[:2] + (len(shapes), 4))
-            y = MSDeformAttn(c, self.num_heads, len(shapes),
-                             self.num_points, dtype=self.dtype,
-                             core_fn=self.core_fn,
-                             name=f"layer{li}_cross_attn")(
-                x + qpos, ref4, value, shapes)
+            if self.cross_attention == "dense":
+                y = MultiheadAttention(c, self.num_heads, dtype=self.dtype,
+                                       name=f"layer{li}_cross_attn")(
+                    x + qpos, value + kpos, value, None)
+            else:
+                ref4 = jnp.broadcast_to(
+                    refs[:, :, None, :],
+                    refs.shape[:2] + (len(shapes), 4))
+                y = MSDeformAttn(c, self.num_heads, len(shapes),
+                                 self.num_points, dtype=self.dtype,
+                                 core_fn=self.core_fn,
+                                 name=f"layer{li}_cross_attn")(
+                    x + qpos, ref4, value, shapes)
             x = LayerNorm(dtype=self.dtype, name=f"layer{li}_norm2")(x + y)
 
             y = nn.Dense(self.dim_feedforward, dtype=self.dtype,
@@ -335,4 +355,6 @@ def build_maskdino_decoder(cfg, dtype=jnp.float32,
         two_stage=md.TWO_STAGE, dn_groups=groups,
         dn_noise_scale=md.DN_NOISE_SCALE,
         dn_label_noise_ratio=md.DN_LABEL_NOISE_RATIO,
-        initial_pred=md.INITIAL_PRED, dtype=dtype, core_fn=core_fn)
+        initial_pred=md.INITIAL_PRED,
+        cross_attention=md.get("CROSS_ATTENTION", "deformable"),
+        dtype=dtype, core_fn=core_fn)
