@@ -198,7 +198,11 @@ def get_cfg() -> CN:
     _C.TPU.MESH_SHAPE = [-1, 1]        # -1 = all remaining devices on the data axis
     _C.TPU.COMPUTE_DTYPE = "bfloat16"  # activations/matmuls; params stay fp32
     _C.TPU.PARAM_DTYPE = "float32"
-    _C.TPU.USE_PALLAS_WINDOW_ATTN = True
+    # Measured on v5e (scan-timed, 800x800 Swin-T): XLA's batched-matmul
+    # window attention (2.3 ms) beats the 2-window-packed Pallas kernel
+    # (7.0 ms, grid-step-overhead-bound) in steady state -> default False.
+    # The kernel stays available for experimentation (golden-tested).
+    _C.TPU.USE_PALLAS_WINDOW_ATTN = False
     _C.TPU.USE_PALLAS_DEFORM_ATTN = True
     _C.TPU.REMAT_BACKBONE = False
     _C.TPU.PROFILE = False             # jax.profiler trace behind a flag
