@@ -264,6 +264,42 @@ def tiny_dino_cfg():
     return cfg
 
 
+class TestRemat:
+    def test_train_step_with_remat_matches_no_remat_loss(self):
+        """SWIN.USE_CHECKPOINT + TPU.REMAT_ENCODER change memory, not math."""
+        from vision_instance_seg_tpu.engine.solver import make_optimizer
+        from vision_instance_seg_tpu.engine.trainer import (
+            TrainState, make_train_step)
+        from vision_instance_seg_tpu.models import build_model, normalize_image
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.float32)
+        masks = np.zeros((1, 4, 64, 64), np.uint8)
+        masks[:, 0, 8:32, 8:32] = 1
+        batch = {"image": jnp.asarray(img),
+                 "gt_classes": jnp.zeros((1, 4), jnp.int32),
+                 "gt_masks": jnp.asarray(masks),
+                 "num_instances": jnp.ones((1,), jnp.int32)}
+        losses = []
+        for remat in (False, True):
+            cfg = tiny_cfg()
+            cfg.SOLVER.IMS_PER_BATCH = 1
+            cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "window"
+            cfg.MODEL.SWIN.USE_CHECKPOINT = remat
+            cfg.TPU.REMAT_ENCODER = remat
+            model = build_model(cfg)
+            params = jax.jit(model.init)(
+                jax.random.key(0), normalize_image(batch["image"], cfg))
+            tx = make_optimizer(cfg, params)
+            state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                               opt_state=tx.init(params))
+            step = make_train_step(cfg, model, tx)
+            _, logs = step(state, batch, jax.random.key(0))
+            losses.append(float(logs["loss_total"]))
+        assert np.isfinite(losses).all()
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
+
+
 class TestMaskDINODenseCrossAttn:
     def test_forward_matches_shapes(self):
         from vision_instance_seg_tpu.models import build_model, normalize_image

@@ -85,6 +85,10 @@ def setup_cfg(train_name: Optional[str] = None,
     cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 0.01
     cfg.SOLVER.AMP.ENABLED = amp
     cfg.TPU.COMPUTE_DTYPE = "bfloat16" if amp else "float32"
+    # rematerialize backbone blocks + encoder layers in backward: large
+    # canvases (800px) exceed HBM without it at batch >= 4
+    cfg.MODEL.SWIN.USE_CHECKPOINT = True
+    cfg.TPU.REMAT_ENCODER = True
     cfg.OUTPUT_DIR = output_dir
     if opts:
         cfg.merge_from_list(list(opts))

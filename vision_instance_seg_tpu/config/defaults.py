@@ -204,6 +204,10 @@ def get_cfg() -> CN:
     # The kernel stays available for experimentation (golden-tested).
     _C.TPU.USE_PALLAS_WINDOW_ATTN = False
     _C.TPU.USE_PALLAS_DEFORM_ATTN = True
+    # jax.checkpoint each pixel-decoder encoder layer in backward (HBM);
+    # pair with MODEL.SWIN.USE_CHECKPOINT for the backbone blocks. The
+    # training CLIs enable both; forward-only inference is unaffected.
+    _C.TPU.REMAT_ENCODER = False
     _C.TPU.REMAT_BACKBONE = False
     _C.TPU.PROFILE = False             # jax.profiler trace behind a flag
     _C.TPU.PROFILE_DIR = "/tmp/vist_trace"

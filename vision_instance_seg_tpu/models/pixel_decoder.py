@@ -285,6 +285,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     num_decoder_levels: int = 3
     encoder_attention: str = "deformable"   # "deformable" | "full" | "window"
     encoder_window_size: int = 8
+    remat: bool = False    # jax.checkpoint each encoder layer (backward HBM)
     dtype: jnp.dtype = jnp.float32
     core_fn: Optional[DeformCoreFn] = None
     attn_fn: Optional[AttnFn] = None
@@ -318,20 +319,24 @@ class MSDeformAttnPixelDecoder(nn.Module):
         ref = jnp.asarray(_encoder_reference_points(shapes))
         ref = jnp.broadcast_to(ref[None], (b,) + ref.shape)
 
+        def _wrap(cls):
+            # spatial_shapes (arg 4 counting self) is a static python list
+            return nn.remat(cls, static_argnums=(4,)) if self.remat else cls
+
         for li in range(self.num_encoder_layers):
             if self.encoder_attention == "window":
-                src = WindowEncoderLayer(
+                src = _wrap(WindowEncoderLayer)(
                     self.conv_dim, self.num_heads, self.ffn_dim,
                     window_size=self.encoder_window_size, shift=bool(li % 2),
                     dtype=self.dtype, attn_fn=self.attn_fn,
                     name=f"encoder_layer{li}")(src, pos, ref, shapes)
             elif self.encoder_attention == "full":
-                src = FullAttentionEncoderLayer(
+                src = _wrap(FullAttentionEncoderLayer)(
                     self.conv_dim, self.num_heads, self.ffn_dim,
                     dtype=self.dtype,
                     name=f"encoder_layer{li}")(src, pos, ref, shapes)
             else:
-                src = DeformableEncoderLayer(
+                src = _wrap(DeformableEncoderLayer)(
                     self.conv_dim, self.num_heads, num_levels,
                     self.num_points, self.ffn_dim, dtype=self.dtype,
                     core_fn=self.core_fn,
@@ -389,4 +394,5 @@ def build_pixel_decoder(cfg, dtype=jnp.float32,
         num_decoder_levels=s.NUM_FEATURE_LEVELS,
         encoder_attention=s.get("ENCODER_ATTENTION", "deformable"),
         encoder_window_size=s.get("ENCODER_WINDOW_SIZE", 8),
+        remat=bool(cfg.TPU.get("REMAT_ENCODER", False)),
         dtype=dtype, core_fn=core_fn, attn_fn=attn_fn)
