@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--max-instances", type=int, default=20,
                     help="GT pad count; defect images have <= ~10 instances")
+    ap.add_argument("--matcher", default="greedy",
+                    choices=["greedy", "hungarian"])
+    ap.add_argument("--point-mode", default="grid",
+                    choices=["grid", "random"])
     args = ap.parse_args()
 
     from vision_instance_seg_tpu.config import get_cfg
@@ -45,6 +49,8 @@ def main():
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = args.encoder
     cfg.MODEL.SWIN.USE_CHECKPOINT = True
     cfg.TPU.REMAT_ENCODER = True
+    cfg.MODEL.MASK_FORMER.MATCHER = args.matcher
+    cfg.MODEL.MASK_FORMER.POINT_MODE = args.point_mode
     cfg.INPUT.MAX_INSTANCES = args.max_instances
     cfg.SOLVER.IMS_PER_BATCH = args.batch
     if args.maskdino:
@@ -91,7 +97,8 @@ def main():
     print(json.dumps({
         "metric": "train_step_ms",
         "model": "maskdino" if args.maskdino else "mask2former",
-        "encoder": args.encoder, "batch": b, "image_size": hw,
+        "encoder": args.encoder, "matcher": args.matcher,
+        "point_mode": args.point_mode, "batch": b, "image_size": hw,
         "ms_per_step": round(ms, 2),
         "images_per_sec": round(b / (ms / 1e3), 2),
         "compile_s": round(compile_s, 1)}))

@@ -1,0 +1,80 @@
+"""Capture a device trace of one train step and print top ops.
+
+Usage: python scripts/profile_train.py [--batch 4] [--image-size 800]
+Then:  python scripts/xplane_top_ops.py <printed xplane path> 40
+"""
+
+import argparse
+import glob
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--image-size", type=int, default=800)
+    ap.add_argument("--encoder", default="window")
+    ap.add_argument("--max-instances", type=int, default=20)
+    ap.add_argument("--logdir", default="/tmp/vist_profile_train")
+    args = ap.parse_args()
+
+    from vision_instance_seg_tpu.config import get_cfg
+    from vision_instance_seg_tpu.engine.solver import make_optimizer
+    from vision_instance_seg_tpu.engine.trainer import (TrainState,
+                                                        make_train_step)
+    from vision_instance_seg_tpu.models import build_model, normalize_image
+
+    cfg = get_cfg()
+    cfg.INPUT.IMAGE_SIZE = args.image_size
+    cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = args.encoder
+    cfg.MODEL.SWIN.USE_CHECKPOINT = True
+    cfg.TPU.REMAT_ENCODER = True
+    cfg.INPUT.MAX_INSTANCES = args.max_instances
+    cfg.SOLVER.IMS_PER_BATCH = args.batch
+    model = build_model(cfg)
+
+    b, hw, m = args.batch, args.image_size, int(cfg.INPUT.MAX_INSTANCES)
+    images = jnp.zeros((b, hw, hw, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 normalize_image(images[:1], cfg))
+    tx = make_optimizer(cfg, params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    masks = np.zeros((b, m, hw, hw), np.uint8)
+    masks[:, 0, 100:300, 100:300] = 1
+    batch = {"image": images,
+             "gt_classes": jnp.zeros((b, m), jnp.int32),
+             "gt_masks": jnp.asarray(masks),
+             "num_instances": jnp.ones((b,), jnp.int32)}
+    step = make_train_step(cfg, model, tx)   # already jitted + donated
+
+    key = jax.random.key(0)
+    t0 = time.perf_counter()
+    state, logs = step(state, batch, key)
+    print("compile+run1:", round(time.perf_counter() - t0, 1), "s",
+          "loss:", float(logs["loss_total"]), file=sys.stderr)
+    t0 = time.perf_counter()
+    state, logs = step(state, batch, key)
+    print("run2:", round(float(logs["loss_total"]), 3),
+          round(time.perf_counter() - t0, 2), "s", file=sys.stderr)
+
+    jax.profiler.start_trace(args.logdir)
+    for _ in range(2):
+        state, logs = step(state, batch, key)
+        _ = float(logs["loss_total"])
+    jax.profiler.stop_trace()
+
+    planes = glob.glob(args.logdir + "/**/*.xplane.pb", recursive=True)
+    print(max(planes, key=lambda p: Path(p).stat().st_mtime))
+
+
+if __name__ == "__main__":
+    main()

@@ -264,6 +264,85 @@ def tiny_dino_cfg():
     return cfg
 
 
+class TestGreedyMatcherAndGridSampling:
+    def test_greedy_valid_and_optimal_on_dominant_costs(self):
+        from vision_instance_seg_tpu.models.matcher import greedy_assign
+        import optax
+
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            # diagonal-dominant: greedy must equal the exact solution
+            cost = rng.uniform(1.0, 2.0, (6, 20)).astype(np.float32)
+            cost[np.arange(6), np.arange(6)] = 0.0
+            i, j = jax.jit(greedy_assign)(jnp.asarray(cost))
+            hi, hj = optax.assignment.hungarian_algorithm(jnp.asarray(cost))
+            got = {(int(a), int(b)) for a, b in zip(i, j)}
+            want = {(int(a), int(b)) for a, b in zip(hi, hj)}
+            assert got == want
+
+    def test_greedy_assignment_is_valid_on_random_costs(self):
+        from vision_instance_seg_tpu.models.matcher import greedy_assign
+        import optax
+
+        rng = np.random.default_rng(1)
+        cost = rng.normal(size=(8, 25)).astype(np.float32)
+        i, j = greedy_assign(jnp.asarray(cost))
+        assert len(set(np.asarray(j).tolist())) == 8   # distinct columns
+        greedy_total = float(cost[np.asarray(i), np.asarray(j)].sum())
+        hi, hj = optax.assignment.hungarian_algorithm(jnp.asarray(cost))
+        opt_total = float(cost[np.asarray(hi), np.asarray(hj)].sum())
+        assert greedy_total >= opt_total - 1e-5
+        assert greedy_total <= opt_total + 0.25 * abs(opt_total) + 2.0
+
+    def test_grid_sample_masks_matches_point_sample_on_smooth_mask(self):
+        from vision_instance_seg_tpu.models.matcher import grid_sample_masks
+
+        m = np.zeros((1, 1, 64, 64), np.float32)
+        m[:, :, 16:48, 16:48] = 1.0
+        out = grid_sample_masks(jnp.asarray(m), 256)   # 16x16 grid
+        assert out.shape == (1, 1, 256)
+        frac = float(out.mean())
+        assert abs(frac - 0.25) < 0.05                 # mask covers 1/4
+
+    def test_train_step_improves_loss_fast_criterion(self):
+        from vision_instance_seg_tpu.engine.solver import make_optimizer
+        from vision_instance_seg_tpu.engine.trainer import (
+            TrainState, make_train_step)
+        from vision_instance_seg_tpu.models import build_model, normalize_image
+
+        cfg = tiny_cfg()
+        cfg.SOLVER.IMS_PER_BATCH = 1
+        cfg.SOLVER.BASE_LR = 1e-3
+        cfg.SOLVER.WARMUP_ITERS = 0
+        cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+        cfg.MODEL.MASK_FORMER.MATCHER = "greedy"
+        cfg.MODEL.MASK_FORMER.POINT_MODE = "grid"
+        model = build_model(cfg)
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.float32)
+        masks = np.zeros((1, 4, 64, 64), np.uint8)
+        masks[:, 0, 8:32, 8:32] = 1
+        batch = {"image": jnp.asarray(img),
+                 "gt_classes": jnp.zeros((1, 4), jnp.int32),
+                 "gt_masks": jnp.asarray(masks),
+                 "num_instances": jnp.ones((1,), jnp.int32)}
+        params = jax.jit(model.init)(
+            jax.random.key(0), normalize_image(batch["image"], cfg))
+        tx = make_optimizer(cfg, params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params))
+        step = make_train_step(cfg, model, tx)
+        key = jax.random.key(0)
+        first = None
+        for _ in range(8):
+            state, logs = step(state, batch, key)
+            if first is None:
+                first = float(logs["loss_total"])
+        last = float(logs["loss_total"])
+        assert np.isfinite([first, last]).all()
+        assert last < first
+
+
 class TestRemat:
     def test_train_step_with_remat_matches_no_remat_loss(self):
         """SWIN.USE_CHECKPOINT + TPU.REMAT_ENCODER change memory, not math."""

@@ -89,6 +89,12 @@ def setup_cfg(train_name: Optional[str] = None,
     # canvases (800px) exceed HBM without it at batch >= 4
     cfg.MODEL.SWIN.USE_CHECKPOINT = True
     cfg.TPU.REMAT_ENCODER = True
+    # TPU-fast criterion (profiled: exact Hungarian + random-point gathers
+    # cost ~2.7s of a 2.9s train step on v5e). Override back to parity with
+    # `MODEL.MASK_FORMER.MATCHER hungarian MODEL.MASK_FORMER.POINT_MODE
+    # random` in opts.
+    cfg.MODEL.MASK_FORMER.MATCHER = "greedy"
+    cfg.MODEL.MASK_FORMER.POINT_MODE = "grid"
     cfg.OUTPUT_DIR = output_dir
     if opts:
         cfg.merge_from_list(list(opts))

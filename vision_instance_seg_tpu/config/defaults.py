@@ -102,6 +102,14 @@ def get_cfg() -> CN:
     _C.MODEL.MASK_FORMER.TRAIN_NUM_POINTS = 12544
     _C.MODEL.MASK_FORMER.OVERSAMPLE_RATIO = 3.0
     _C.MODEL.MASK_FORMER.IMPORTANCE_SAMPLE_RATIO = 0.75
+    # TPU-fast criterion variants (reference-parity defaults; the training
+    # CLIs switch to greedy+grid — see training/maskdino/common.py):
+    # MATCHER: "hungarian" (exact; serial DFS while-loops, seconds/step on
+    # TPU) | "greedy" (vectorized global-argmin, near-optimal).
+    # POINT_MODE: "random" (PointRend importance sampling; element-serial
+    # gathers) | "grid" (regular-grid resize, fused vectorized).
+    _C.MODEL.MASK_FORMER.MATCHER = "hungarian"
+    _C.MODEL.MASK_FORMER.POINT_MODE = "random"
     _C.MODEL.MASK_FORMER.TEST = CN()
     _C.MODEL.MASK_FORMER.TEST.SEMANTIC_ON = False
     _C.MODEL.MASK_FORMER.TEST.INSTANCE_ON = True

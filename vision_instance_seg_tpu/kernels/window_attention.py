@@ -39,43 +39,50 @@ NEG_INF = -1e9
 
 
 def _attn_pair_kernel(q_ref, k_ref, v_ref, rel_ref, msk_ref, out_ref, *,
-                      n_tok: int, scale: float):
-    """One grid step: 2 windows x 1 head, rows packed to 2*Np.
+                      n_tok: int, scale: float, pairs: int):
+    """One grid step: ``pairs`` x (2 windows) x 1 head.
 
-    q/k/v_ref: (2, 1, Np, hd); rel_ref: (1, 1, Np, Np) fp32;
-    msk_ref: (2, 1, Np, Np) fp32 additive; out_ref: (2, 1, Np, hd).
+    q/k/v_ref: (2*pairs, 1, Np, hd); rel_ref: (1, 1, Np, Np) fp32;
+    msk_ref: (2*pairs, 1, Np, Np) fp32 additive; out_ref like q_ref.
+    Packing several pairs per step amortizes the grid-step overhead that
+    dominates at these tiny shapes (2 MFLOP of matmul per pair).
     """
     np_ = q_ref.shape[2]
     hd = q_ref.shape[3]
-    q = q_ref[...].reshape(2 * np_, hd).astype(jnp.float32) * scale
-    k = k_ref[...].reshape(2 * np_, hd).astype(jnp.float32)
-    v = v_ref[...].reshape(2 * np_, hd)
-
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (2Np, 2Np)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (2 * np_, 2 * np_), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (2 * np_, 2 * np_), 1)
     same_window = (rows // np_) == (cols // np_)
+    valid_col = (cols % np_) < n_tok
 
     rel = rel_ref[0, 0]                                   # (Np, Np)
     rel2 = jnp.concatenate([jnp.concatenate([rel, rel], 1)] * 2, 0)
-    m0 = msk_ref[0, 0]
-    m1 = msk_ref[1, 0]
-    msk2 = jnp.concatenate(
-        [jnp.concatenate([m0, m0], 1), jnp.concatenate([m1, m1], 1)], 0)
 
-    valid_col = (cols % np_) < n_tok
-    bias = jnp.where(same_window & valid_col, rel2 + msk2, NEG_INF)
-    s = s + bias
+    for p_i in range(pairs):                              # static unroll
+        q = q_ref[2 * p_i:2 * p_i + 2].reshape(
+            2 * np_, hd).astype(jnp.float32) * scale
+        k = k_ref[2 * p_i:2 * p_i + 2].reshape(2 * np_, hd).astype(jnp.float32)
+        v = v_ref[2 * p_i:2 * p_i + 2].reshape(2 * np_, hd)
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
 
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    out_ref[...] = o.astype(out_ref.dtype).reshape(2, 1, np_, hd)
+        m0 = msk_ref[2 * p_i, 0]
+        m1 = msk_ref[2 * p_i + 1, 0]
+        msk2 = jnp.concatenate(
+            [jnp.concatenate([m0, m0], 1), jnp.concatenate([m1, m1], 1)], 0)
+
+        s = s + jnp.where(same_window & valid_col, rel2 + msk2, NEG_INF)
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out_ref[2 * p_i:2 * p_i + 2] = o.astype(out_ref.dtype).reshape(
+            2, 1, np_, hd)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -83,13 +90,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fused_window_attention_impl(q, k, v, rel_bias, shift_mask, *,
-                                 scale: float, interpret: bool = False):
+                                 scale: float, interpret: bool = False,
+                                 max_pairs: int = 8):
     """q/k/v (B, nW, nH, N, hd); rel_bias (nH, N, N);
     shift_mask (nW, N, N) fp32. Returns (B, nW, nH, N, hd)."""
     b, nw, nh, n, hd = q.shape
     np_ = _round_up(n, 64)          # pack 2 windows into a 128-row tile
-    nw2 = _round_up(nw, 2)
-    hdp = _round_up(hd, 128) if hd > 128 else hd  # hd expected <= 128
+    pairs = max(1, min(max_pairs, _round_up(nw, 2) // 2))
+    nw2 = _round_up(nw, 2 * pairs)
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, nw2 - nw), (0, 0), (0, np_ - n),
@@ -106,24 +114,27 @@ def _fused_window_attention_impl(q, k, v, rel_bias, shift_mask, *,
     kp = kp.reshape(b * nw2, nh, np_, hd)
     vp = vp.reshape(b * nw2, nh, np_, hd)
 
-    pairs_per_img = nw2 // 2
-    grid = (b * pairs_per_img, nh)
+    steps_per_img = nw2 // (2 * pairs)
+    grid = (b * steps_per_img, nh)
 
-    qkv_spec = pl.BlockSpec((2, 1, np_, hd), lambda i, j: (i, j, 0, 0),
+    qkv_spec = pl.BlockSpec((2 * pairs, 1, np_, hd),
+                            lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
     rel_spec = pl.BlockSpec((1, 1, np_, np_), lambda i, j: (j, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     msk_spec = pl.BlockSpec(
-        (2, 1, np_, np_),
-        lambda i, j: (i % pairs_per_img, 0, 0, 0),
+        (2 * pairs, 1, np_, np_),
+        lambda i, j: (i % steps_per_img, 0, 0, 0),
         memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_attn_pair_kernel, n_tok=n, scale=scale),
+        functools.partial(_attn_pair_kernel, n_tok=n, scale=scale,
+                          pairs=pairs),
         out_shape=jax.ShapeDtypeStruct((b * nw2, nh, np_, hd), q.dtype),
         grid=grid,
         in_specs=[qkv_spec, qkv_spec, qkv_spec, rel_spec, msk_spec],
-        out_specs=pl.BlockSpec((2, 1, np_, hd), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((2 * pairs, 1, np_, hd),
+                               lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from vision_instance_seg_tpu.models.matcher import (
-    MatchResult, hungarian_match, point_sample_nhw)
+    MatchResult, grid_sample_masks, hungarian_match, point_sample_nhw)
 
 
 class CriterionConfig(NamedTuple):
@@ -38,6 +38,14 @@ class CriterionConfig(NamedTuple):
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
     deep_supervision: bool = True
+    # TPU-fast criterion variants (training CLIs enable both; the defaults
+    # keep reference semantics):
+    # matcher: "hungarian" (exact, serial DFS loops — seconds/step on TPU)
+    #          or "greedy" (vectorized global-argmin, near-optimal).
+    # point_mode: "random" (PointRend importance sampling, element-serial
+    #             bilinear gathers) or "grid" (regular-grid resize, fused).
+    matcher: str = "hungarian"
+    point_mode: str = "random"
 
 
 def criterion_config_from_cfg(cfg) -> CriterionConfig:
@@ -48,7 +56,9 @@ def criterion_config_from_cfg(cfg) -> CriterionConfig:
         mask_weight=m.MASK_WEIGHT, dice_weight=m.DICE_WEIGHT,
         num_points=m.TRAIN_NUM_POINTS, oversample_ratio=m.OVERSAMPLE_RATIO,
         importance_sample_ratio=m.IMPORTANCE_SAMPLE_RATIO,
-        deep_supervision=m.DEEP_SUPERVISION)
+        deep_supervision=m.DEEP_SUPERVISION,
+        matcher=m.get("MATCHER", "hungarian"),
+        point_mode=m.get("POINT_MODE", "random"))
 
 
 def _uniform_points(key, n: int) -> jnp.ndarray:
@@ -84,28 +94,39 @@ def importance_sample_points(key, pair_logits: jnp.ndarray,
 
 
 def _one_layer_losses(key, cls_logits, mask_logits, gt_classes, gt_masks,
-                      gt_valid, cc: CriterionConfig) -> Dict[str, jnp.ndarray]:
+                      gt_valid, cc: CriterionConfig,
+                      gt_grid=None) -> Dict[str, jnp.ndarray]:
     """Losses for one decoder layer's predictions.
 
     cls_logits (B, Q, C+1); mask_logits (B, Q, Hm, Wm);
     gt_classes (B, M); gt_masks (B, M, H, W) in {0,1}; gt_valid (B, M).
+    gt_grid: precomputed (B, M, P) {0,1} grid samples (point_mode="grid").
     """
     b, q = cls_logits.shape[:2]
     m = gt_classes.shape[1]
     k_match, k_loss = jax.random.split(key)
+    grid_mode = cc.point_mode == "grid"
 
     num_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
 
-    # ---- matching on uniform random points (official matcher behavior)
-    match_pts = _uniform_points(k_match, cc.num_points)
-    pred_pts = jax.vmap(lambda ml: point_sample_nhw(ml, match_pts))(
-        mask_logits.astype(jnp.float32))                     # (B, Q, P)
-    gt_pts = jax.vmap(lambda gm: point_sample_nhw(gm, match_pts))(
-        gt_masks.astype(jnp.float32))                        # (B, M, P)
-    gt_pts_bin = (gt_pts > 0.5).astype(jnp.float32)
+    # ---- matching costs on sampled mask values
+    if grid_mode:
+        # regular-grid resize: fused vectorized ops, no per-point gathers
+        pred_pts = grid_sample_masks(mask_logits.astype(jnp.float32),
+                                     cc.num_points)          # (B, Q, P)
+        gt_pts_bin = gt_grid
+    else:
+        # uniform random points (official matcher behavior)
+        match_pts = _uniform_points(k_match, cc.num_points)
+        pred_pts = jax.vmap(lambda ml: point_sample_nhw(ml, match_pts))(
+            mask_logits.astype(jnp.float32))                 # (B, Q, P)
+        gt_pts = jax.vmap(lambda gm: point_sample_nhw(gm, match_pts))(
+            gt_masks.astype(jnp.float32))                    # (B, M, P)
+        gt_pts_bin = (gt_pts > 0.5).astype(jnp.float32)
     match = hungarian_match(cls_logits, None, gt_classes, gt_pts_bin,
                             pred_pts, gt_valid, cc.class_weight,
-                            cc.mask_weight, cc.dice_weight)
+                            cc.mask_weight, cc.dice_weight,
+                            method=cc.matcher)
 
     # ---- classification loss over all queries
     target_cls = jnp.full((b, q), cc.num_classes, jnp.int32)
@@ -118,18 +139,28 @@ def _one_layer_losses(key, cls_logits, mask_logits, gt_classes, gt_masks,
     w = jnp.where(target_cls == cc.num_classes, cc.eos_coef, 1.0)
     loss_ce = (nll * w).sum() / w.sum()
 
-    # ---- mask losses on matched pairs with importance-sampled points
-    matched_logits = jnp.take_along_axis(
-        mask_logits, match.gt_to_query[:, :, None, None], axis=1)  # (B,M,Hm,Wm)
-    flat_pred = matched_logits.reshape(b * m, *matched_logits.shape[2:])
-    pts = importance_sample_points(
-        k_loss, flat_pred.astype(jnp.float32), cc.num_points,
-        cc.oversample_ratio, cc.importance_sample_ratio)     # (B*M, P, 2)
-    pred_v = jax.vmap(lambda lg, p: point_sample_nhw(lg[None], p)[0])(
-        flat_pred.astype(jnp.float32), pts)                  # (B*M, P)
-    flat_gt = gt_masks.reshape(b * m, *gt_masks.shape[2:]).astype(jnp.float32)
-    gt_v = jax.vmap(lambda g, p: point_sample_nhw(g[None], p)[0])(flat_gt, pts)
-    gt_v = (gt_v > 0.5).astype(jnp.float32)
+    # ---- mask losses on matched pairs
+    if grid_mode:
+        # reuse the matching-grid values: select matched queries' rows
+        pred_v = jnp.take_along_axis(
+            pred_pts, match.gt_to_query[:, :, None], axis=1
+        ).reshape(b * m, -1)                                 # (B*M, P)
+        gt_v = gt_pts_bin.reshape(b * m, -1)
+    else:
+        # PointRend importance sampling (oversample + top-uncertainty)
+        matched_logits = jnp.take_along_axis(
+            mask_logits, match.gt_to_query[:, :, None, None], axis=1)
+        flat_pred = matched_logits.reshape(b * m, *matched_logits.shape[2:])
+        pts = importance_sample_points(
+            k_loss, flat_pred.astype(jnp.float32), cc.num_points,
+            cc.oversample_ratio, cc.importance_sample_ratio)  # (B*M, P, 2)
+        pred_v = jax.vmap(lambda lg, p: point_sample_nhw(lg[None], p)[0])(
+            flat_pred.astype(jnp.float32), pts)               # (B*M, P)
+        flat_gt = gt_masks.reshape(
+            b * m, *gt_masks.shape[2:]).astype(jnp.float32)
+        gt_v = jax.vmap(
+            lambda g, p: point_sample_nhw(g[None], p)[0])(flat_gt, pts)
+        gt_v = (gt_v > 0.5).astype(jnp.float32)
 
     valid = match.gt_valid.reshape(b * m).astype(jnp.float32)
     bce = jax.nn.softplus(pred_v) - pred_v * gt_v            # = BCE-with-logits
@@ -154,10 +185,15 @@ def set_criterion(key, cls_logits_layers, mask_logits_layers, gt_classes,
     aggregate aux loss).
     """
     n_layers = cls_logits_layers.shape[0]
+    # GT grid samples are layer-invariant — compute once outside the scan
+    gt_grid = None
+    if cc.point_mode == "grid":
+        gt_grid = (grid_sample_masks(gt_masks.astype(jnp.float32),
+                                     cc.num_points) > 0.5).astype(jnp.float32)
     if not cc.deep_supervision:
         ld = _one_layer_losses(key, cls_logits_layers[-1],
                                mask_logits_layers[-1], gt_classes, gt_masks,
-                               gt_valid, cc)
+                               gt_valid, cc, gt_grid=gt_grid)
         total = (cc.class_weight * ld["loss_ce"]
                  + cc.mask_weight * ld["loss_mask"]
                  + cc.dice_weight * ld["loss_dice"])
@@ -170,7 +206,7 @@ def set_criterion(key, cls_logits_layers, mask_logits_layers, gt_classes,
     def body(carry, xs):
         k, cls_l, mask_l = xs
         ld = _one_layer_losses(k, cls_l, mask_l, gt_classes, gt_masks,
-                               gt_valid, cc)
+                               gt_valid, cc, gt_grid=gt_grid)
         weighted = (cc.class_weight * ld["loss_ce"]
                     + cc.mask_weight * ld["loss_mask"]
                     + cc.dice_weight * ld["loss_dice"])

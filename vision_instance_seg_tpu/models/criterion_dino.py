@@ -23,7 +23,8 @@ from vision_instance_seg_tpu.models.box_ops import (
 from vision_instance_seg_tpu.models.criterion import (
     _uniform_points, importance_sample_points)
 from vision_instance_seg_tpu.models.matcher import (
-    batch_dice_cost, batch_sigmoid_ce_cost, point_sample_nhw)
+    assign, batch_dice_cost, batch_sigmoid_ce_cost, grid_sample_masks,
+    point_sample_nhw)
 
 _INVALID_COST = 1e6
 
@@ -41,6 +42,9 @@ class DinoCriterionConfig(NamedTuple):
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
     deep_supervision: bool = True
+    # see criterion.CriterionConfig: TPU-fast variants vs reference parity
+    matcher: str = "hungarian"
+    point_mode: str = "random"
 
 
 def dino_criterion_config_from_cfg(cfg) -> DinoCriterionConfig:
@@ -52,7 +56,9 @@ def dino_criterion_config_from_cfg(cfg) -> DinoCriterionConfig:
         giou_weight=m.GIOU_WEIGHT, num_points=m.TRAIN_NUM_POINTS,
         oversample_ratio=m.OVERSAMPLE_RATIO,
         importance_sample_ratio=m.IMPORTANCE_SAMPLE_RATIO,
-        deep_supervision=m.DEEP_SUPERVISION)
+        deep_supervision=m.DEEP_SUPERVISION,
+        matcher=m.get("MATCHER", "hungarian"),
+        point_mode=m.get("POINT_MODE", "random"))
 
 
 def sigmoid_focal_loss(logits, targets, alpha: float, gamma: float):
@@ -99,7 +105,7 @@ def dino_hungarian_match(cls_logits, pred_pts, gt_pts, pred_boxes, gt_boxes,
                 + cc.dice_weight * c_dice + cc.box_weight * c_l1
                 + cc.giou_weight * c_giou)
         cost = jnp.where(valid[None, :], cost, _INVALID_COST)
-        i, j = optax.assignment.hungarian_algorithm(cost.T)
+        i, j = assign(cost.T, cc.matcher)
         return jnp.zeros((cost.shape[1],), jnp.int32).at[i].set(
             j.astype(jnp.int32))
 
@@ -109,9 +115,12 @@ def dino_hungarian_match(cls_logits, pred_pts, gt_pts, pred_boxes, gt_boxes,
 
 def _matched_losses(key, cls_logits, mask_logits, boxes, gt_classes,
                     gt_masks, gt_boxes, gt_valid, gt_to_query,
-                    cc: DinoCriterionConfig, with_masks: bool = True
-                    ) -> Dict[str, jnp.ndarray]:
-    """Losses given an assignment. All padded-invalid pairs contribute 0."""
+                    cc: DinoCriterionConfig, with_masks: bool = True,
+                    pred_grid=None, gt_grid=None) -> Dict[str, jnp.ndarray]:
+    """Losses given an assignment. All padded-invalid pairs contribute 0.
+
+    point_mode="grid": pred_grid (B, Q', P) and gt_grid (B, M, P) carry the
+    precomputed regular-grid samples (no per-point gathers)."""
     b, q = cls_logits.shape[:2]
     m = gt_classes.shape[1]
     num_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
@@ -143,18 +152,26 @@ def _matched_losses(key, cls_logits, mask_logits, boxes, gt_classes,
         out["loss_dice"] = jnp.zeros(())
         return out
 
-    # masks on matched pairs (importance-sampled points)
-    matched = jnp.take_along_axis(
-        mask_logits, gt_to_query[:, :, None, None], axis=1)
-    flat_pred = matched.reshape(b * m, *matched.shape[2:]).astype(jnp.float32)
-    pts = importance_sample_points(key, flat_pred, cc.num_points,
-                                   cc.oversample_ratio,
-                                   cc.importance_sample_ratio)
-    pred_v = jax.vmap(lambda lg, p: point_sample_nhw(lg[None], p)[0])(
-        flat_pred, pts)
-    flat_gt = gt_masks.reshape(b * m, *gt_masks.shape[2:]).astype(jnp.float32)
-    gt_v = (jax.vmap(lambda g, p: point_sample_nhw(g[None], p)[0])(
-        flat_gt, pts) > 0.5).astype(jnp.float32)
+    # masks on matched pairs
+    if cc.point_mode == "grid":
+        pred_v = jnp.take_along_axis(
+            pred_grid, gt_to_query[:, :, None], axis=1).reshape(b * m, -1)
+        gt_v = gt_grid.reshape(b * m, -1)
+    else:
+        # importance-sampled points (PointRend scheme)
+        matched = jnp.take_along_axis(
+            mask_logits, gt_to_query[:, :, None, None], axis=1)
+        flat_pred = matched.reshape(
+            b * m, *matched.shape[2:]).astype(jnp.float32)
+        pts = importance_sample_points(key, flat_pred, cc.num_points,
+                                       cc.oversample_ratio,
+                                       cc.importance_sample_ratio)
+        pred_v = jax.vmap(lambda lg, p: point_sample_nhw(lg[None], p)[0])(
+            flat_pred, pts)
+        flat_gt = gt_masks.reshape(
+            b * m, *gt_masks.shape[2:]).astype(jnp.float32)
+        gt_v = (jax.vmap(lambda g, p: point_sample_nhw(g[None], p)[0])(
+            flat_gt, pts) > 0.5).astype(jnp.float32)
     valid = gt_valid.reshape(b * m).astype(jnp.float32)
     bce = jax.nn.softplus(pred_v) - pred_v * gt_v
     out["loss_mask"] = (bce.mean(-1) * valid).sum() / num_masks
@@ -173,10 +190,15 @@ def _weighted(ld: Dict[str, jnp.ndarray], cc: DinoCriterionConfig):
 
 
 def _dn_losses(key, cls_logits, mask_logits, boxes, dn_meta, gt_classes,
-               gt_masks, gt_boxes, gt_valid, cc: DinoCriterionConfig):
+               gt_masks, gt_boxes, gt_valid, cc: DinoCriterionConfig,
+               gt_grid=None):
     """Known-assignment CDN losses over the dn prefix of the query axis."""
     groups, m = dn_meta["groups"], dn_meta["max_gt"]
     b = cls_logits.shape[0]
+    pred_grid = None
+    if cc.point_mode == "grid":
+        pred_grid = grid_sample_masks(mask_logits.astype(jnp.float32),
+                                      cc.num_points)
     num_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0) * groups
 
     # classification over ALL dn queries: pos -> gt class, neg -> background
@@ -204,7 +226,7 @@ def _dn_losses(key, cls_logits, mask_logits, boxes, dn_meta, gt_classes,
                                ).astype(jnp.int32)
         ld = _matched_losses(keys[g], cls_logits, mask_logits, boxes,
                              gt_classes, gt_masks, gt_boxes, gt_valid,
-                             idx, cc)
+                             idx, cc, pred_grid=pred_grid, gt_grid=gt_grid)
         # cls is handled globally above (incl. negatives); drop per-group cls
         for k in ("loss_bbox", "loss_giou", "loss_mask", "loss_dice"):
             logs[k] = logs[k] + ld[k] / groups
@@ -229,22 +251,35 @@ def maskdino_criterion(key, outputs: Dict, gt_classes, gt_masks,
     total = jnp.zeros(())
     logs: Dict[str, jnp.ndarray] = {}
 
-    match_pts = _uniform_points(keys[-1], cc.num_points)
-    gt_pts = (jax.vmap(lambda gm: point_sample_nhw(gm, match_pts))(
-        gt_masks.astype(jnp.float32)) > 0.5).astype(jnp.float32)
+    grid_mode = cc.point_mode == "grid"
+    if grid_mode:
+        gt_pts = (grid_sample_masks(gt_masks.astype(jnp.float32),
+                                    cc.num_points) > 0.5).astype(jnp.float32)
+    else:
+        match_pts = _uniform_points(keys[-1], cc.num_points)
+        gt_pts = (jax.vmap(lambda gm: point_sample_nhw(gm, match_pts))(
+            gt_masks.astype(jnp.float32)) > 0.5).astype(jnp.float32)
+
+    def _pred_pts(mask_l):
+        if grid_mode:
+            return grid_sample_masks(mask_l.astype(jnp.float32),
+                                     cc.num_points)
+        return jax.vmap(lambda ml: point_sample_nhw(ml, match_pts))(
+            mask_l.astype(jnp.float32))
 
     layer_ids = range(n_layers) if cc.deep_supervision else [n_layers - 1]
     for li in layer_ids:
         cls_l = cls_layers[li][:, t:]
         mask_l = mask_layers[li][:, t:]
         box_l = box_layers[li][:, t:]
-        pred_pts = jax.vmap(lambda ml: point_sample_nhw(ml, match_pts))(
-            mask_l.astype(jnp.float32))
+        pred_pts = _pred_pts(mask_l)
         gt_to_q = dino_hungarian_match(cls_l, pred_pts, gt_pts, box_l,
                                        gt_boxes_cxcywh, gt_classes,
                                        gt_valid, cc)
         ld = _matched_losses(keys[li], cls_l, mask_l, box_l, gt_classes,
-                             gt_masks, gt_boxes_cxcywh, gt_valid, gt_to_q, cc)
+                             gt_masks, gt_boxes_cxcywh, gt_valid, gt_to_q, cc,
+                             pred_grid=pred_pts if grid_mode else None,
+                             gt_grid=gt_pts if grid_mode else None)
         total = total + _weighted(ld, cc)
         if li == n_layers - 1:
             logs.update(ld)
@@ -253,7 +288,8 @@ def maskdino_criterion(key, outputs: Dict, gt_classes, gt_masks,
             dn_total, _dnl = _dn_losses(
                 keys[li], cls_layers[li][:, :t], mask_layers[li][:, :t],
                 box_layers[li][:, :t], dn_meta, gt_classes, gt_masks,
-                gt_boxes_cxcywh, gt_valid, cc)
+                gt_boxes_cxcywh, gt_valid, cc,
+                gt_grid=gt_pts if grid_mode else None)
             total = total + dn_total
             if li == n_layers - 1:
                 logs["loss_dn"] = dn_total
@@ -263,14 +299,15 @@ def maskdino_criterion(key, outputs: Dict, gt_classes, gt_masks,
         enc_cls = outputs["enc_cls"]
         enc_boxes = outputs["enc_boxes"]
         enc_masks = outputs["enc_masks"]
-        pred_pts = jax.vmap(lambda ml: point_sample_nhw(ml, match_pts))(
-            enc_masks.astype(jnp.float32))
+        pred_pts = _pred_pts(enc_masks)
         gt_to_q = dino_hungarian_match(enc_cls, pred_pts, gt_pts, enc_boxes,
                                        gt_boxes_cxcywh, gt_classes,
                                        gt_valid, cc)
         ld = _matched_losses(keys[-2], enc_cls, enc_masks, enc_boxes,
                              gt_classes, gt_masks, gt_boxes_cxcywh, gt_valid,
-                             gt_to_q, cc)
+                             gt_to_q, cc,
+                             pred_grid=pred_pts if grid_mode else None,
+                             gt_grid=gt_pts if grid_mode else None)
         total = total + _weighted(ld, cc)
         logs["loss_enc"] = _weighted(ld, cc)
 

@@ -78,11 +78,66 @@ def batch_dice_cost(pred_pts: jnp.ndarray, gt_pts: jnp.ndarray) -> jnp.ndarray:
 _INVALID_COST = 1e6
 
 
+def grid_sample_masks(masks: jnp.ndarray, num_points: int) -> jnp.ndarray:
+    """(B, N, H, W) -> (B, N, g*g) values on a regular g x g grid.
+
+    TPU-native replacement for random-point sampling: a bilinear resize is
+    a fused vectorized op, whereas per-point bilinear gathers are
+    element-serial on TPU (measured ~30ms per (80, 12544)-point sample at
+    200x200 — the dominant train-step cost before this path existed).
+    g = round(sqrt(num_points)), e.g. 12544 -> 112x112.
+    """
+    b, n_masks, _, _ = masks.shape
+    g = max(1, int(round(num_points ** 0.5)))
+    out = jax.image.resize(masks.astype(jnp.float32),
+                           (b, n_masks, g, g), method="bilinear")
+    return out.reshape(b, n_masks, g * g)
+
+
+def greedy_assign(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy linear assignment on an (R, C) cost matrix, R <= C.
+
+    Repeatedly takes the globally-cheapest unassigned (row, col) pair —
+    R iterations of a vectorized argmin, no serial DFS. Near-optimal for
+    set-prediction matching (each GT usually has a distinct best query)
+    and orders of magnitude faster on TPU than the exact solver, whose
+    scalar-scatter DFS loops cost seconds per train step at (L=10, B=4,
+    M=20, Q=100). Same return contract as
+    ``optax.assignment.hungarian_algorithm``: (row_indices, col_indices).
+    """
+    r, c = cost.shape
+    big = jnp.float32(1e9)
+
+    def body(carry, _):
+        cm, cols = carry
+        idx = jnp.argmin(cm)
+        ri = (idx // c).astype(jnp.int32)
+        ci = (idx % c).astype(jnp.int32)
+        cols = cols.at[ri].set(ci)
+        cm = cm.at[ri, :].set(big)
+        cm = cm.at[:, ci].set(big)
+        return (cm, cols), None
+
+    (_, cols), _ = jax.lax.scan(
+        body, (cost.astype(jnp.float32), jnp.zeros((r,), jnp.int32)),
+        None, length=r)
+    return jnp.arange(r, dtype=jnp.int32), cols
+
+
+def assign(cost_t: jnp.ndarray, method: str = "hungarian"
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve assignment on (R, C) cost (rows=GT): exact or greedy."""
+    if method == "greedy":
+        return greedy_assign(cost_t)
+    return optax.assignment.hungarian_algorithm(cost_t)
+
+
 def hungarian_match(cls_logits: jnp.ndarray, mask_logits: jnp.ndarray,
                     gt_classes: jnp.ndarray, gt_mask_pts: jnp.ndarray,
                     pred_mask_pts: jnp.ndarray, gt_valid: jnp.ndarray,
                     cost_class: float = 2.0, cost_mask: float = 5.0,
-                    cost_dice: float = 5.0) -> MatchResult:
+                    cost_dice: float = 5.0,
+                    method: str = "hungarian") -> MatchResult:
     """Batched padded Hungarian matching.
 
     cls_logits (B, Q, C+1); mask_logits unused (kept for signature clarity);
@@ -103,7 +158,7 @@ def hungarian_match(cls_logits: jnp.ndarray, mask_logits: jnp.ndarray,
         cost = (cost_class * c_class + cost_mask * c_mask + cost_dice * c_dice)
         cost = jnp.where(valid[None, :], cost, _INVALID_COST)      # (Q, M)
         # transpose: rows = GT (M <= Q) so every GT gets a query
-        i, j = optax.assignment.hungarian_algorithm(cost.T)
+        i, j = assign(cost.T, method)
         # i = GT rows, j = assigned query. Scatter to slot order.
         gt_to_q = jnp.zeros((cost.shape[1],), jnp.int32).at[i].set(
             j.astype(jnp.int32))
