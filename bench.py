@@ -56,15 +56,25 @@ def bench_infer(batch: int, iters: int, warmup: int = 3,
                 + jnp.sum(mask_layers[-1].astype(jnp.float32)))
 
     # steady-state throughput: REPS forwards inside one jit (lax.scan with
-    # the carry fed back into the input so XLA cannot hoist the model call)
+    # the carry fed back into the model inputs so XLA cannot hoist the call)
     # amortize the per-dispatch host/tunnel overhead, as a pipelined server
-    # would.
+    # would. The carry perturbs the SMALLEST param leaf — feeding it into
+    # the image forces XLA to re-copy the 61 MB input (in a padded layout,
+    # 1.2 GB) every iteration.
     reps = 5
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    small = min(range(len(leaves)), key=lambda i: leaves[i].size)
 
     @jax.jit
     def run(params, images):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+
         def body(carry, _):
-            return carry + forward(params, images + carry * 1e-30), None
+            lv = list(leaves)
+            lv[small] = lv[small] + carry.astype(lv[small].dtype) * 1e-30
+            p = jax.tree_util.tree_unflatten(treedef, lv)
+            return carry + forward(p, images), None
+
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
         return out
 

@@ -206,9 +206,10 @@ def get_cfg() -> CN:
     _C.TPU.MESH_SHAPE = [-1, 1]        # -1 = all remaining devices on the data axis
     _C.TPU.COMPUTE_DTYPE = "bfloat16"  # activations/matmuls; params stay fp32
     _C.TPU.PARAM_DTYPE = "float32"
-    # Measured on v5e (scan-timed, 800x800 Swin-T): XLA's batched-matmul
-    # window attention (2.3 ms) beats the 2-window-packed Pallas kernel
-    # (7.0 ms, grid-step-overhead-bound) in steady state -> default False.
+    # Measured on v5e (scan-timed, 800x800 Swin-T backbone): XLA's
+    # batched-matmul window attention (~1.9 ms) beats the Pallas kernel
+    # even after 8-pair packing + in-kernel geometry masks (~4.6 ms,
+    # grid-step-overhead-bound at these tiny 49x32 tiles) -> default False.
     # The kernel stays available for experimentation (golden-tested).
     _C.TPU.USE_PALLAS_WINDOW_ATTN = False
     _C.TPU.USE_PALLAS_DEFORM_ATTN = True

@@ -89,6 +89,75 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _attn_pair_kernel_geo(q_ref, k_ref, v_ref, rel_ref, out_ref, *,
+                          n_tok: int, scale: float, pairs: int,
+                          steps_per_img: int, ww: int, hp: int, wp: int,
+                          ws: int, shift: int):
+    """Like ``_attn_pair_kernel`` but the shifted-window region mask is
+    computed in-kernel from window geometry instead of DMA'd — the (nW, N,
+    N) fp32 mask re-read per grid step dominated the kernel's HBM traffic
+    (1 MB/step vs 192 KB of q/k/v at pairs=8).
+
+    Labels replicate models/swin.py ``_shift_attn_mask``: region id
+    3*ry+rx with ry/rx from the slices [0, Hp-ws), [Hp-ws, Hp-shift),
+    [Hp-shift, Hp) evaluated at rolled token coordinates.
+    """
+    np_ = q_ref.shape[2]
+    hd = q_ref.shape[3]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * np_, 2 * np_), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (2 * np_, 2 * np_), 1)
+    same_window = (rows // np_) == (cols // np_)
+    valid_col = (cols % np_) < n_tok
+
+    rel = rel_ref[0, 0]                                   # (Np, Np)
+    rel2 = jnp.concatenate([jnp.concatenate([rel, rel], 1)] * 2, 0)
+
+    step = pl.program_id(0) % steps_per_img
+    widx_base = step * (2 * pairs)
+
+    def pair_label(w0):
+        """(2*Np, 1) int32 region label per packed row for windows w0, w0+1."""
+        r = jax.lax.broadcasted_iota(jnp.int32, (2 * np_, 1), 0)
+        slot = r // np_
+        t = r % np_
+        w = w0 + slot
+        wi = w // ww
+        wj = w % ww
+        gy = wi * ws + t // ws
+        gx = wj * ws + t % ws
+        ry = ((gy >= hp - ws).astype(jnp.int32)
+              + (gy >= hp - shift).astype(jnp.int32))
+        rx = ((gx >= wp - ws).astype(jnp.int32)
+              + (gx >= wp - shift).astype(jnp.int32))
+        return 3 * ry + rx
+
+    for p_i in range(pairs):                              # static unroll
+        q = q_ref[2 * p_i:2 * p_i + 2].reshape(
+            2 * np_, hd).astype(jnp.float32) * scale
+        k = k_ref[2 * p_i:2 * p_i + 2].reshape(2 * np_, hd).astype(jnp.float32)
+        v = v_ref[2 * p_i:2 * p_i + 2].reshape(2 * np_, hd)
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+        keep = same_window & valid_col
+        if shift > 0:
+            lab = pair_label(widx_base + 2 * p_i)         # (2Np, 1)
+            keep = keep & (lab == lab.reshape(1, 2 * np_))
+        s = s + jnp.where(keep, rel2, NEG_INF)
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out_ref[2 * p_i:2 * p_i + 2] = o.astype(out_ref.dtype).reshape(
+            2, 1, np_, hd)
+
+
 def _fused_window_attention_impl(q, k, v, rel_bias, shift_mask, *,
                                  scale: float, interpret: bool = False,
                                  max_pairs: int = 8):
@@ -147,6 +216,82 @@ def _fused_window_attention_impl(q, k, v, rel_bias, shift_mask, *,
     return out
 
 
+def _fused_wa_geo_impl(q, k, v, rel_bias, *, scale: float,
+                       geometry, interpret: bool = False,
+                       max_pairs: int = 8):
+    """Geometry-mask variant: q/k/v (B, nW, nH, N, hd); rel_bias (nH, N, N);
+    geometry = (Hp, Wp, ws, shift). No mask tensor touches HBM."""
+    b, nw, nh, n, hd = q.shape
+    hp, wp, ws, shift = geometry
+    ww = wp // ws
+    np_ = _round_up(n, 64)
+    pairs = max(1, min(max_pairs, _round_up(nw, 2) // 2))
+    nw2 = _round_up(nw, 2 * pairs)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, nw2 - nw), (0, 0), (0, np_ - n),
+                           (0, 0)))
+
+    qp = pad(q).reshape(b * nw2, nh, np_, hd)
+    kp = pad(k).reshape(b * nw2, nh, np_, hd)
+    vp = pad(v).reshape(b * nw2, nh, np_, hd)
+    relp = jnp.pad(rel_bias.astype(jnp.float32),
+                   ((0, 0), (0, np_ - n), (0, np_ - n)))
+
+    steps_per_img = nw2 // (2 * pairs)
+    grid = (b * steps_per_img, nh)
+    qkv_spec = pl.BlockSpec((2 * pairs, 1, np_, hd),
+                            lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    rel_spec = pl.BlockSpec((1, 1, np_, np_), lambda i, j: (j, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_pair_kernel_geo, n_tok=n, scale=scale,
+                          pairs=pairs, steps_per_img=steps_per_img, ww=ww,
+                          hp=hp, wp=wp, ws=ws, shift=shift),
+        out_shape=jax.ShapeDtypeStruct((b * nw2, nh, np_, hd), q.dtype),
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, rel_spec],
+        out_specs=pl.BlockSpec((2 * pairs, 1, np_, hd),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nw2 * nh * np_ * np_ * hd * 2,
+            bytes_accessed=3 * b * nw2 * nh * np_ * hd * q.dtype.itemsize,
+            transcendentals=b * nw2 * nh * np_ * np_),
+    )(qp, kp, vp, relp.reshape(nh, 1, np_, np_))
+
+    return out.reshape(b, nw2, nh, np_, hd)[:, :nw, :, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_wa_geo(q, k, v, rel_bias, scale, geometry, interpret):
+    return _fused_wa_geo_impl(q, k, v, rel_bias, scale=scale,
+                              geometry=geometry, interpret=interpret)
+
+
+def _fused_wa_geo_fwd(q, k, v, rel_bias, scale, geometry, interpret):
+    out = _fused_wa_geo(q, k, v, rel_bias, scale, geometry, interpret)
+    return out, (q, k, v, rel_bias)
+
+
+def _fused_wa_geo_bwd(scale, geometry, interpret, res, g):
+    from vision_instance_seg_tpu.models.swin import _shift_attn_mask
+
+    q, k, v, rel_bias = res
+    hp, wp, ws, shift = geometry
+    if shift > 0:
+        shift_mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
+    else:
+        shift_mask = jnp.zeros((q.shape[1], q.shape[3], q.shape[3]),
+                               jnp.float32)
+    dq, dk, dv, drel, _ = _fused_wa_bwd(scale, interpret,
+                                        (q, k, v, rel_bias, shift_mask), g)
+    return dq, dk, dv, drel
+
+
 # ---------------------------------------------------------------------------
 # custom VJP: Pallas forward, jnp backward (standard attention gradients,
 # recomputed from the residuals — no attention matrix is saved from fwd)
@@ -186,21 +331,38 @@ def _fused_wa_bwd(scale, interpret, res, g):
 
 
 _fused_wa.defvjp(_fused_wa_fwd, _fused_wa_bwd)
+_fused_wa_geo.defvjp(_fused_wa_geo_fwd, _fused_wa_geo_bwd)
 
 
 def fused_window_attention(q, k, v, rel_bias,
                            shift_mask: Optional[jnp.ndarray],
                            scale: float, num_windows: int,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           geometry=None):
     """AttnFn entry (models/swin.py contract): q/k/v (nWt, nH, N, hd),
     nWt = B*num_windows; rel_bias (nH, N, N);
     shift_mask (num_windows, N, N) or None. Differentiable (custom VJP:
-    Pallas forward, recomputed-attention jnp backward)."""
+    Pallas forward, recomputed-attention jnp backward).
+
+    geometry=(Hp, Wp, ws, shift): derive the shifted-window region mask
+    in-kernel instead of DMA-ing a materialized (nW, N, N) fp32 tensor
+    every grid step (the dominant HBM traffic of the mask path);
+    shift_mask is ignored in that case. models/swin.py passes geometry
+    automatically (``wants_geometry``).
+    """
     nwt, nh, n, hd = q.shape
     b = nwt // num_windows
     shp = (b, num_windows, nh, n, hd)
+    if geometry is not None:
+        out = _fused_wa_geo(q.reshape(shp), k.reshape(shp), v.reshape(shp),
+                            rel_bias, float(scale), tuple(geometry),
+                            interpret)
+        return out.reshape(nwt, nh, n, hd)
     if shift_mask is None:
         shift_mask = jnp.zeros((num_windows, n, n), jnp.float32)
     out = _fused_wa(q.reshape(shp), k.reshape(shp), v.reshape(shp),
                     rel_bias, shift_mask, float(scale), interpret)
     return out.reshape(nwt, nh, n, hd)
+
+
+fused_window_attention.wants_geometry = True

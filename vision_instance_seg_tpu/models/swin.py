@@ -112,8 +112,9 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
-                 num_windows: int) -> jnp.ndarray:
-        # x: (nW_total, N, C); mask: (nW, N, N) or None
+                 num_windows: int, geometry=None) -> jnp.ndarray:
+        # x: (nW_total, N, C); mask: (nW, N, N) or None;
+        # geometry (Hp, Wp, ws, shift): passed to mask-free kernels
         nwt, n, c = x.shape
         nh = self.num_heads
         hd = c // nh
@@ -131,8 +132,13 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(nwt, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]                 # (nWt, nH, N, hd)
 
-        attn = (self.attn_fn or reference_window_attention)(
-            q, k, v, bias, mask, scale, num_windows)
+        if geometry is not None and getattr(self.attn_fn, "wants_geometry",
+                                            False):
+            attn = self.attn_fn(q, k, v, bias, None, scale, num_windows,
+                                geometry=geometry)
+        else:
+            attn = (self.attn_fn or reference_window_attention)(
+                q, k, v, bias, mask, scale, num_windows)
         out = attn.transpose(0, 2, 1, 3).reshape(nwt, n, c)
         return nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init(),
                         name="proj")(out)
@@ -158,16 +164,20 @@ class SwinBlock(nn.Module):
 
         shortcut = x
         x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        use_geo = getattr(self.attn_fn, "wants_geometry", False)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(h, w, ws, shift))
+            # geometry-aware kernels derive the region mask in-kernel
+            mask = None if use_geo else jnp.asarray(
+                _shift_attn_mask(h, w, ws, shift))
         else:
             mask = None
         xw = window_partition(x, ws)
         xw = WindowAttention(
             self.dim, self.num_heads, ws, self.qkv_bias, self.qk_scale,
             dtype=self.dtype, attn_fn=self.attn_fn, name="attn")(
-            xw, mask, (h // ws) * (w // ws))
+            xw, mask, (h // ws) * (w // ws),
+            geometry=(h, w, ws, shift) if use_geo else None)
         x = window_unpartition(xw, ws, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
