@@ -31,15 +31,24 @@ TARGET_MULTIPLier = 3.0
 
 
 def bench_infer(batch: int, iters: int, warmup: int = 3,
-                image_hw: int = 800, encoder: str = "window") -> dict:
+                image_hw: int = 800, encoder: str = "window",
+                model_name: str = "mask2former",
+                backbone: str = "swin_t") -> dict:
     from vision_instance_seg_tpu.config import get_cfg
     from vision_instance_seg_tpu.models import build_model, normalize_image
 
     cfg = get_cfg()                       # Swin-T Mask2Former defaults
     cfg.INPUT.TEST_PAD_H = cfg.INPUT.TEST_PAD_W = image_hw
-    # TPU-native flagship: windowed multi-scale encoder (Pallas kernel).
+    # TPU-native flagship: windowed multi-scale encoder.
     # "deformable" keeps the reference-parity encoder for comparison runs.
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = encoder
+    if model_name == "maskdino":
+        cfg.MODEL.MASK_DINO.ENABLED = True
+        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
+    if backbone == "swin_b":
+        cfg.MODEL.SWIN.EMBED_DIM = 128
+        cfg.MODEL.SWIN.DEPTHS = [2, 2, 18, 2]
+        cfg.MODEL.SWIN.NUM_HEADS = [4, 8, 16, 32]
     model = build_model(cfg)
 
     images = jnp.zeros((batch, image_hw, image_hw, 3), jnp.float32)
@@ -47,13 +56,17 @@ def bench_infer(batch: int, iters: int, warmup: int = 3,
                                  normalize_image(images[:1], cfg))
 
     def forward(params, images):
-        cls_layers, mask_layers = model.apply(
-            params, normalize_image(images, cfg), deterministic=True)
+        out = model.apply(params, normalize_image(images, cfg),
+                          deterministic=True)
+        if isinstance(out, dict):        # MaskDINO
+            cls_last, mask_last = out["pred_logits"][-1], out["pred_masks"][-1]
+        else:                            # Mask2Former (cls_layers, mask_layers)
+            cls_last, mask_last = out[0][-1], out[1][-1]
         # scalar checksum: forces full execution; float() below round-trips
         # to host (block_until_ready alone is unreliable on the tunneled
         # axon platform)
-        return (jnp.sum(cls_layers[-1].astype(jnp.float32))
-                + jnp.sum(mask_layers[-1].astype(jnp.float32)))
+        return (jnp.sum(cls_last.astype(jnp.float32))
+                + jnp.sum(mask_last.astype(jnp.float32)))
 
     # steady-state throughput: REPS forwards inside one jit (lax.scan with
     # the carry fed back into the model inputs so XLA cannot hoist the call)
@@ -99,16 +112,22 @@ def main():
     ap.add_argument("--image-size", type=int, default=800)
     ap.add_argument("--encoder", default="window",
                     choices=["window", "full", "deformable"])
+    ap.add_argument("--model", default="mask2former",
+                    choices=["mask2former", "maskdino"])
+    ap.add_argument("--backbone", default="swin_t",
+                    choices=["swin_t", "swin_b"])
     args = ap.parse_args()
 
     if jax.default_backend() == "cpu":    # keep CI/CPU smoke runs fast
         args.batch, args.image_size = 1, 256
 
     r = bench_infer(args.batch, args.iters, image_hw=args.image_size,
-                    encoder=args.encoder)
+                    encoder=args.encoder, model_name=args.model,
+                    backbone=args.backbone)
     target = A100_SWIN_T_M2F_IMG_PER_SEC * TARGET_MULTIPLier
     print(json.dumps({
-        "metric": "swin_t_mask2former_infer_images_per_sec_per_chip",
+        "metric": (f"{args.backbone}_{args.model}"
+                   "_infer_images_per_sec_per_chip"),
         "value": round(r["images_per_sec"], 3),
         "unit": "images/s",
         "vs_baseline": round(r["images_per_sec"] / target, 4),
@@ -116,6 +135,7 @@ def main():
                    "batch": r["batch"],
                    "image_size": args.image_size,
                    "encoder": args.encoder,
+                   "model": args.model, "backbone": args.backbone,
                    "ms_per_batch": round(r["ms_per_batch"], 2),
                    "baseline_target_images_per_sec": target},
     }))

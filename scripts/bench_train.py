@@ -67,8 +67,10 @@ def main():
                        opt_state=tx.init(params))
     masks = np.zeros((b, m, hw, hw), np.uint8)
     masks[:, 0, 100:300, 100:300] = 1
+    boxes = np.tile(np.array([100, 100, 300, 300], np.float32), (b, m, 1))
     batch = {"image": images,
              "gt_classes": jnp.zeros((b, m), jnp.int32),
+             "gt_boxes": jnp.asarray(boxes),       # xyxy canvas pixels
              "gt_masks": jnp.asarray(masks),
              "num_instances": jnp.ones((b,), jnp.int32)}
     step = make_train_step(cfg, model, tx)

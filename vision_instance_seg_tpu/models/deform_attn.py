@@ -9,9 +9,13 @@ Here the sampling core is a pure function over static per-level shapes:
 
 - jnp reference path: vectorized corner gathers via ``take_along_axis`` on
   the flattened (H*W) axis — everything batched, no scalar loops, XLA fuses
-  the 4-corner lerp into the gathers.
-- A Pallas kernel (kernels/msdeform_attn.py) implements the same contract
-  with blocked VMEM gathers (config TPU.USE_PALLAS_DEFORM_ATTN).
+  the 4-corner lerp into the gathers. Row gathers are element-serial on
+  TPU (~70ms/encoder-layer at 800px — docs/PERF.md), so this stays the
+  reference-parity path; the flagship uses the windowed encoder
+  (pixel_decoder.WindowEncoderLayer) / dense decoder cross-attention.
+- ``core_fn`` hook: a Pallas kernel can be swapped in under the same
+  contract (TPU.USE_PALLAS_DEFORM_ATTN; Mosaic's dynamic_gather does not
+  support these shapes today, so none ships).
 
 Shapes (static): value (B, sum_L H_l*W_l, nH, hd); locations
 (B, Q, nH, L, P, 2) normalized to [0,1]; weights (B, Q, nH, L, P) softmaxed
