@@ -38,7 +38,8 @@ def eval_cfg():
     return cfg
 
 
-def test_gt_echo_reaches_perfect_ap50(mini_coco, eval_cfg):
+@pytest.mark.parametrize("batch_size", [1, 4])
+def test_gt_echo_reaches_perfect_ap50(mini_coco, eval_cfg, batch_size):
     name = "mini_eval_pipeline"
     if name in DatasetCatalog:
         DatasetCatalog.remove(name)
@@ -50,6 +51,7 @@ def test_gt_echo_reaches_perfect_ap50(mini_coco, eval_cfg):
     assert meta.thing_classes == ["thunderbolt"]
 
     cfg = eval_cfg
+    cfg.TEST.BATCH_SIZE = batch_size  # 4 does not divide 6: pads last batch
     ch, cw = cfg.INPUT.TEST_PAD_H, cfg.INPUT.TEST_PAD_W
     mh, mw = ch // 4, cw // 4
     max_inst = max(len(d["annotations"]) for d in dicts)
@@ -59,15 +61,12 @@ def test_gt_echo_reaches_perfect_ap50(mini_coco, eval_cfg):
     # exactly inverse to the evaluator's postprocess chain.
     state = {"i": 0}
 
-    def oracle_inference(params, images):
-        d = dicts[state["i"]]
-        state["i"] += 1
+    def oracle_one(d):
         oh, ow = d["height"], d["width"]
         vh, vw = resize_shortest_edge_size(
             oh, ow, cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST)
         probs = np.zeros((max_inst, mh, mw), np.float32)
         scores = np.zeros((max_inst,), np.float32)
-        labels = np.zeros((max_inst,), np.int32)
         for k, ann in enumerate(d["annotations"]):
             m = polygons_to_bitmask(ann["segmentation"], oh, ow)
             m = _resize(m, vh, vw)
@@ -75,8 +74,19 @@ def test_gt_echo_reaches_perfect_ap50(mini_coco, eval_cfg):
             canvas[:vh, :vw] = m
             probs[k] = _resize(canvas, mh, mw)
             scores[k] = 0.9
-        return {"mask_probs": probs[None], "scores": scores[None],
-                "labels": labels[None]}
+        return probs, scores
+
+    def oracle_inference(params, images):
+        bs = images.shape[0]
+        chunk = dicts[state["i"]:state["i"] + bs]
+        state["i"] += bs
+        chunk = chunk + [chunk[-1]] * (bs - len(chunk))  # loader pads last
+        probs = np.zeros((bs, max_inst, mh, mw), np.float32)
+        scores = np.zeros((bs, max_inst), np.float32)
+        labels = np.zeros((bs, max_inst), np.int32)
+        for b, d in enumerate(chunk):
+            probs[b], scores[b] = oracle_one(d)
+        return {"mask_probs": probs, "scores": scores, "labels": labels}
 
     evaluator = COCOEvaluator(name, cfg)
     res = evaluator.evaluate(oracle_inference, params=None)

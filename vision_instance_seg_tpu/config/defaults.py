@@ -199,6 +199,7 @@ def get_cfg() -> CN:
     _C.TEST.EVAL_PERIOD = 1000
     _C.TEST.DETECTIONS_PER_IMAGE = 100
     _C.TEST.SCORE_THRESH = 0.0
+    _C.TEST.BATCH_SIZE = 1        # eval-loop batch (padded static shapes)
 
     # ------------------------------------------------------------------- TPU
     _C.TPU = CN()

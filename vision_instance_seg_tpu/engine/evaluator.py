@@ -108,9 +108,15 @@ class COCOEvaluator:
         self.json_file = meta.get("json_file")
 
     def evaluate(self, inference_fn, params) -> Dict[str, Dict[str, float]]:
+        import jax
+
+        # commit host-loaded params to device once — otherwise every batch
+        # re-uploads the full weight tree
+        params = jax.device_put(params)
         cfg = self.cfg
         dicts = DatasetCatalog.get(self.dataset_name)
-        loader = EvalLoader(dicts, cfg, batch_size=1)
+        loader = EvalLoader(dicts, cfg,
+                            batch_size=int(cfg.TEST.get("BATCH_SIZE", 1)))
         canvas_h, canvas_w = cfg.INPUT.TEST_PAD_H, cfg.INPUT.TEST_PAD_W
         results: List[dict] = []
         t0 = time.time()

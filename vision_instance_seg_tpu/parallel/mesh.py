@@ -37,8 +37,10 @@ def make_mesh(cfg=None, devices=None, batch_size: Optional[int] = None) -> Mesh:
     shape = [len(devices) // known if s == -1 else s for s in shape]
     if batch_size is not None and "data" in axes:
         di = axes.index("data")
-        d = min(shape[di], batch_size)
-        while batch_size % d or (len(devices) // known) < d:
+        other = int(np.prod([s for i, s in enumerate(shape) if i != di]))
+        cap = max(len(devices) // max(other, 1), 1)
+        d = max(min(shape[di], batch_size, cap), 1)
+        while d > 1 and batch_size % d:
             d -= 1
         shape[di] = d
     n_used = int(np.prod(shape))
@@ -55,6 +57,40 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# Megatron-style split: column-parallel (shard output features) for the
+# expanding half of each pointwise pair, row-parallel (shard input
+# features) for the contracting half. GSPMD propagates the activation
+# shardings and inserts the all-reduces over ICI.
+_COLUMN_KEYS = ("linear1", "ffn1", "qkv", "q_proj", "k_proj", "v_proj",
+                "mlp/fc1", "layer0")
+_ROW_KEYS = ("linear2", "ffn2", "proj", "out_proj", "mlp/fc2", "layer1")
+
+
+def param_shardings(params: Any, mesh: Mesh,
+                    min_size: int = 1 << 14) -> Any:
+    """Tensor-parallel NamedSharding tree for a param pytree.
+
+    2-D Dense kernels are partitioned over the mesh's 'model' axis
+    (column- or row-parallel by layer role); everything else — biases,
+    norms, conv kernels, embeddings, and any kernel whose dims don't
+    divide — is replicated. With model=1 this degenerates to pure DP.
+    """
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
+    def spec(path, x) -> P:
+        if tp == 1 or getattr(x, "ndim", 0) != 2 or x.size < min_size:
+            return P()
+        name = "/".join(str(getattr(p, "key", p)) for p in path).lower()
+        if any(k in name for k in _COLUMN_KEYS) and x.shape[1] % tp == 0:
+            return P(None, "model")
+        if any(k in name for k in _ROW_KEYS) and x.shape[0] % tp == 0:
+            return P("model", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, spec(p, x)), params)
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
