@@ -110,6 +110,44 @@ class TestMesh:
         mesh8 = make_mesh(cfg, batch_size=16)
         assert mesh8.shape["data"] == 8
 
+    def test_tensor_parallel_forward_matches_replicated(self):
+        """param_shardings (Megatron column/row split over 'model') must
+        not change the math: TP forward == replicated forward."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vision_instance_seg_tpu.models import (build_model,
+                                                    normalize_image)
+        from vision_instance_seg_tpu.parallel.mesh import (
+            make_mesh, param_shardings, replicated)
+        from tests.test_models import tiny_cfg
+
+        cfg = tiny_cfg()
+        cfg.TPU.MESH_SHAPE = [4, 2]
+        model = build_model(cfg)
+        x = jax.random.normal(jax.random.key(1), (1, 64, 64, 3)) * 30 + 100
+        xn = normalize_image(x, cfg)
+        params = jax.jit(model.init)(jax.random.key(0), xn)
+
+        mesh = make_mesh(cfg, batch_size=4)
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "data": 4, "model": 2}
+        psh = param_shardings(params, mesh, min_size=1)
+        n_split = sum(1 for s in jax.tree_util.tree_leaves(
+            psh, is_leaf=lambda s: hasattr(s, "spec")) if any(s.spec))
+        assert n_split > 0, "no kernels were tensor-parallel split"
+
+        fwd = jax.jit(lambda p, im: model.apply(p, im, deterministic=True))
+        ref_cls, ref_masks = fwd(jax.device_put(params, replicated(mesh)),
+                                 xn)
+        tp_cls, tp_masks = fwd(jax.device_put(params, psh), xn)
+        np.testing.assert_allclose(np.asarray(tp_cls), np.asarray(ref_cls),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(tp_masks),
+                                   np.asarray(ref_masks),
+                                   rtol=2e-5, atol=2e-5)
+
     def test_comm_single_host(self):
         from vision_instance_seg_tpu.parallel import comm
 
