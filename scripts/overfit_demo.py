@@ -1,0 +1,98 @@
+"""End-to-end learning proof: overfit the synthetic mini-COCO set on TPU.
+
+Trains the real flagship (Swin-T Mask2Former, window encoder, TPU-fast
+criterion) on 6 synthetic blob images and evaluates with the full COCO
+pipeline (RLE + pycocotools-parity AP). A healthy stack overfits to high
+AP50 in a few hundred steps — this exercises loader, transforms, train
+step, checkpointing-free loop, inference, postprocess, and the evaluator
+against REAL learned weights rather than oracles.
+
+Usage: python scripts/overfit_demo.py [--steps 300] [--image-size 256]
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent.parent / "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from fixtures import make_mini_coco
+    from vision_instance_seg_tpu.config import get_cfg
+    from vision_instance_seg_tpu.data.catalog import DatasetCatalog
+    from vision_instance_seg_tpu.data.coco import load_coco_json
+    from vision_instance_seg_tpu.engine.evaluator import COCOEvaluator
+    from vision_instance_seg_tpu.engine.trainer import Trainer
+    from vision_instance_seg_tpu.models import make_inference_fn
+
+    root = Path(tempfile.mkdtemp(prefix="vist_overfit_")) / "mini"
+    root.mkdir(parents=True)
+    mc = make_mini_coco(root, n_images=6, seed=0, height=200, width=260)
+    name = "overfit_mini"
+    DatasetCatalog.register(
+        name, lambda: load_coco_json(mc["ann_file"], mc["image_dir"], name))
+
+    cfg = get_cfg()
+    cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "window"
+    cfg.MODEL.MASK_FORMER.MATCHER = "greedy"
+    cfg.MODEL.MASK_FORMER.POINT_MODE = "grid"
+    cfg.MODEL.MASK_FORMER.TRAIN_NUM_POINTS = 4096
+    cfg.MODEL.SWIN.USE_CHECKPOINT = True
+    cfg.TPU.REMAT_ENCODER = True
+    cfg.MODEL.SWIN.DROP_PATH_RATE = 0.0
+    cfg.INPUT.IMAGE_SIZE = args.image_size
+    cfg.INPUT.MAX_INSTANCES = 8
+    cfg.INPUT.LSJ.MIN_SCALE = 0.9        # mild LSJ so it can actually overfit
+    cfg.INPUT.LSJ.MAX_SCALE = 1.1
+    cfg.INPUT.MIN_SIZE_TEST = args.image_size
+    cfg.INPUT.MAX_SIZE_TEST = args.image_size * 2
+    cfg.INPUT.TEST_PAD_H = cfg.INPUT.TEST_PAD_W = args.image_size
+    cfg.SOLVER.IMS_PER_BATCH = args.batch
+    cfg.SOLVER.BASE_LR = args.lr
+    cfg.SOLVER.MAX_ITER = args.steps
+    cfg.SOLVER.WARMUP_ITERS = 20
+    cfg.SOLVER.STEPS = [int(args.steps * 0.9)]
+    cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
+    cfg.TEST.EVAL_PERIOD = 10 ** 9
+    cfg.TEST.SCORE_THRESH = 0.05
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = (name,)
+    cfg.OUTPUT_DIR = str(root / "out")
+
+    t0 = time.time()
+    trainer = Trainer(cfg)
+    logs = trainer.train()
+    train_s = time.time() - t0
+    print(f"trained {args.steps} steps in {train_s:.0f}s "
+          f"(final loss {float(logs['loss_total']):.3f})", file=sys.stderr)
+
+    infer = make_inference_fn(trainer.model, cfg)
+    res = COCOEvaluator(name, cfg).evaluate(infer, trainer.state.params)
+    print(json.dumps({
+        "metric": "overfit_mini_segm_AP50",
+        "value": round(float(res["segm"]["AP50"]), 2),
+        "unit": "AP50",
+        "detail": {"steps": args.steps, "train_s": round(train_s, 1),
+                   "final_loss": round(float(logs["loss_total"]), 3),
+                   "segm": {k: round(float(v), 2)
+                            for k, v in res["segm"].items()},
+                   "bbox_AP50": round(float(res["bbox"]["AP50"]), 2)}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,8 @@ custom mapper) with a host pipeline designed for TPU feeding:
   reproducible in isolation.
 
 Batch layout (dict of arrays, NHWC):
-  image      (B, H, W, 3) float32 RGB 0-255
+  image      (B, H, W, 3) uint8 RGB 0-255 (cast to float on device —
+             4x less host->device transfer)
   valid_hw   (B, 2) int32
   gt_classes (B, M) int32, -1 padded
   gt_boxes   (B, M, 4) float32 xyxy canvas coords

@@ -26,7 +26,7 @@ from vision_instance_seg_tpu.data.polygons import polygons_to_bitmask
 class SampleRecord:
     """A fully-transformed training/eval sample on the fixed canvas."""
 
-    image: np.ndarray            # (H, W, 3) float32, RGB 0-255
+    image: np.ndarray            # (H, W, 3) uint8, RGB 0-255
     valid_h: int                 # valid rows (image content above, padding below)
     valid_w: int
     image_id: int
@@ -126,8 +126,10 @@ class TrainTransform:
         masks = [m[y0:y0 + C, x0:x0 + C] for m in masks]
         vh, vw = image.shape[:2]
 
-        canvas_img = np.zeros((C, C, 3), dtype=np.float32)
-        canvas_img[:vh, :vw] = image.astype(np.float32)
+        # uint8 canvas: the batch ships to the device at 1/4 the bytes
+        # (normalize_image / the train step cast to float on device)
+        canvas_img = np.zeros((C, C, 3), dtype=np.uint8)
+        canvas_img[:vh, :vw] = np.clip(image, 0, 255).astype(np.uint8)
 
         M = max_instances
         gt_masks = np.zeros((M, C, C), dtype=np.uint8)
@@ -170,8 +172,8 @@ class EvalTransform:
             s = min(self.pad_h / nh, self.pad_w / nw)
             nh, nw = max(1, int(nh * s)), max(1, int(nw * s))
         image = _resize_image(image, nh, nw)
-        canvas_img = np.zeros((self.pad_h, self.pad_w, 3), dtype=np.float32)
-        canvas_img[:nh, :nw] = image.astype(np.float32)
+        canvas_img = np.zeros((self.pad_h, self.pad_w, 3), dtype=np.uint8)
+        canvas_img[:nh, :nw] = np.clip(image, 0, 255).astype(np.uint8)
         return SampleRecord(
             image=canvas_img, valid_h=nh, valid_w=nw,
             image_id=record.get("image_id", 0), orig_h=oh, orig_w=ow,
