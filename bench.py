@@ -49,6 +49,8 @@ def bench_infer(batch: int, iters: int, warmup: int = 3,
         cfg.MODEL.SWIN.EMBED_DIM = 128
         cfg.MODEL.SWIN.DEPTHS = [2, 2, 18, 2]
         cfg.MODEL.SWIN.NUM_HEADS = [4, 8, 16, 32]
+    elif backbone == "r50":
+        cfg.MODEL.BACKBONE.NAME = "resnet"
     model = build_model(cfg)
 
     images = jnp.zeros((batch, image_hw, image_hw, 3), jnp.float32)
@@ -115,7 +117,7 @@ def main():
     ap.add_argument("--model", default="mask2former",
                     choices=["mask2former", "maskdino"])
     ap.add_argument("--backbone", default="swin_t",
-                    choices=["swin_t", "swin_b"])
+                    choices=["swin_t", "swin_b", "r50"])
     args = ap.parse_args()
 
     if jax.default_backend() == "cpu":    # keep CI/CPU smoke runs fast
