@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--image-size", type=int, default=800)
     ap.add_argument("--encoder", default="window")
     ap.add_argument("--max-instances", type=int, default=20)
+    ap.add_argument("--matcher", default="greedy")
+    ap.add_argument("--point-mode", default="grid")
     ap.add_argument("--logdir", default="/tmp/vist_profile_train")
     args = ap.parse_args()
 
@@ -37,6 +39,8 @@ def main():
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = args.encoder
     cfg.MODEL.SWIN.USE_CHECKPOINT = True
     cfg.TPU.REMAT_ENCODER = True
+    cfg.MODEL.MASK_FORMER.MATCHER = args.matcher
+    cfg.MODEL.MASK_FORMER.POINT_MODE = args.point_mode
     cfg.INPUT.MAX_INSTANCES = args.max_instances
     cfg.SOLVER.IMS_PER_BATCH = args.batch
     model = build_model(cfg)
