@@ -1,0 +1,78 @@
+"""End-to-end evaluation throughput (BASELINE.md "batched inference +
+mask postprocess" config).
+
+Times COCOEvaluator.evaluate — batched TPU inference, D2H, host mask
+upsample/threshold, RLE encode, COCO accumulate — over a synthetic set at
+the reference eval canvas.
+
+Usage: python scripts/bench_eval.py [--images 24] [--batch 8]
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent.parent / "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=24)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--image-size", type=int, default=800)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fixtures import make_mini_coco
+    from vision_instance_seg_tpu.config import get_cfg
+    from vision_instance_seg_tpu.data.catalog import DatasetCatalog
+    from vision_instance_seg_tpu.data.coco import load_coco_json
+    from vision_instance_seg_tpu.engine.evaluator import COCOEvaluator
+    from vision_instance_seg_tpu.models import (build_model,
+                                                make_inference_fn,
+                                                normalize_image)
+
+    root = Path(tempfile.mkdtemp(prefix="vist_evalbench_")) / "mini"
+    root.mkdir(parents=True)
+    mc = make_mini_coco(root, n_images=args.images, seed=0,
+                        height=640, width=780)
+    name = "evalbench"
+    DatasetCatalog.register(
+        name, lambda: load_coco_json(mc["ann_file"], mc["image_dir"], name))
+
+    DatasetCatalog.get(name)   # trigger lazy metadata registration
+
+    cfg = get_cfg()
+    cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "window"
+    cfg.INPUT.TEST_PAD_H = cfg.INPUT.TEST_PAD_W = args.image_size
+    cfg.TEST.BATCH_SIZE = args.batch
+    cfg.TEST.SCORE_THRESH = 0.0        # postprocess all top-K (worst case)
+    model = build_model(cfg)
+    params = jax.jit(model.init)(
+        jax.random.key(0),
+        normalize_image(jnp.zeros((1, args.image_size, args.image_size, 3)),
+                        cfg))
+    infer = make_inference_fn(model, cfg)
+    ev = COCOEvaluator(name, cfg)
+
+    ev.evaluate(infer, params)                      # compile + warm
+    t0 = time.time()
+    ev.evaluate(infer, params)
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "eval_pipeline_images_per_sec",
+        "value": round(args.images / dt, 2), "unit": "images/s",
+        "detail": {"backend": jax.default_backend(),
+                   "images": args.images, "batch": args.batch,
+                   "image_size": args.image_size,
+                   "total_s": round(dt, 2)}}))
+
+
+if __name__ == "__main__":
+    main()

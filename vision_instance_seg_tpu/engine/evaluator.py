@@ -54,10 +54,12 @@ def postprocess_instances(mask_probs: np.ndarray, scores: np.ndarray,
     """
     results = []
     k = mask_probs.shape[0]
-    for i in range(k):
+    keep = np.nonzero(np.asarray(scores[:k], np.float32) > score_thresh)[0]
+    # NOTE: per-instance cv2 resizes ARE the fast path — cv2's >4-channel
+    # resize falls back to a naive kernel (measured 110x slower for
+    # (200,200,100)->(800,800,100)); don't "vectorize" this loop.
+    for i in keep:
         score = float(scores[i])
-        if score <= score_thresh:
-            continue
         m = _resize_bilinear(mask_probs[i].astype(np.float32),
                              canvas_h, canvas_w)
         m = m[:valid_h, :valid_w]

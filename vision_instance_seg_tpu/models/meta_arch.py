@@ -181,15 +181,22 @@ def make_inference_fn(model, cfg):
         images = normalize_image(images, cfg)
         if dino:
             out = model.apply(params, images, deterministic=True)
-            return jax.vmap(
+            res = jax.vmap(
                 lambda c, m, bx: maskdino_instance_inference(
                     c, m, bx, num_classes, topk)
             )(out["pred_logits"][-1], out["pred_masks"][-1],
               out["pred_boxes"][-1])
-        cls_layers, mask_layers = model.apply(params, images,
-                                              deterministic=True)
-        return jax.vmap(
-            lambda c, m: instance_inference(c, m, num_classes, topk)
-        )(cls_layers[-1], mask_layers[-1])
+        else:
+            cls_layers, mask_layers = model.apply(params, images,
+                                                  deterministic=True)
+            res = jax.vmap(
+                lambda c, m: instance_inference(c, m, num_classes, topk)
+            )(cls_layers[-1], mask_layers[-1])
+        # mask probs leave the device as bf16: halves the D2H bytes of the
+        # dominant output tensor (topk x Hm x Wm); probabilities in [0, 1]
+        # lose nothing that survives the 0.5 threshold / AP interpolation
+        res = dict(res)
+        res["mask_probs"] = res["mask_probs"].astype(jnp.bfloat16)
+        return res
 
     return jax.jit(infer)
