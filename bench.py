@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_SWIN_T_M2F_IMG_PER_SEC = 20.0
-TARGET_MULTIPLier = 3.0
+TARGET_MULTIPLIER = 3.0
 
 
 def bench_infer(batch: int, iters: int, warmup: int = 3,
@@ -126,7 +126,7 @@ def main():
     r = bench_infer(args.batch, args.iters, image_hw=args.image_size,
                     encoder=args.encoder, model_name=args.model,
                     backbone=args.backbone)
-    target = A100_SWIN_T_M2F_IMG_PER_SEC * TARGET_MULTIPLier
+    target = A100_SWIN_T_M2F_IMG_PER_SEC * TARGET_MULTIPLIER
     print(json.dumps({
         "metric": (f"{args.backbone}_{args.model}"
                    "_infer_images_per_sec_per_chip"),
