@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--maskdino", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -48,6 +49,10 @@ def main():
         name, lambda: load_coco_json(mc["ann_file"], mc["image_dir"], name))
 
     cfg = get_cfg()
+    if args.maskdino:
+        cfg.MODEL.MASK_DINO.ENABLED = True
+        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
+        cfg.MODEL.MASK_DINO.DN_NUM = 16
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "window"
     cfg.MODEL.MASK_FORMER.MATCHER = "greedy"
     cfg.MODEL.MASK_FORMER.POINT_MODE = "grid"
@@ -84,7 +89,7 @@ def main():
     infer = make_inference_fn(trainer.model, cfg)
     res = COCOEvaluator(name, cfg).evaluate(infer, trainer.state.params)
     print(json.dumps({
-        "metric": "overfit_mini_segm_AP50",
+        "metric": ("overfit_mini_maskdino_segm_AP50" if args.maskdino else "overfit_mini_segm_AP50"),
         "value": round(float(res["segm"]["AP50"]), 2),
         "unit": "AP50",
         "detail": {"steps": args.steps, "train_s": round(train_s, 1),
