@@ -1,0 +1,152 @@
+"""MaskDINO feature-key tests: 4-scale encoder, LEARN_TGT,
+INITIALIZE_BOX_TYPE, SEMANTIC_CE_LOSS.
+
+These are the reference config keys from the trained MaskDINO base yaml
+(maskdino_R50_bs16_50ep_4s_dowsample1_2048, reference
+training/maskdino/train_original.py:256-260) that round 1 declared but did
+not consume (VERDICT r1 missing #2/#3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_models import tiny_cfg, tiny_dino_cfg
+
+
+def _init(cfg, bs=1):
+    from vision_instance_seg_tpu.models import build_model, normalize_image
+
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.key(1), (bs, 64, 64, 3)) * 30 + 100
+    params = jax.jit(model.init)(jax.random.key(0), normalize_image(x, cfg))
+    return model, params, normalize_image(x, cfg)
+
+
+class TestFourScale:
+    def test_pixel_decoder_adds_downsampled_level(self):
+        """TOTAL_NUM_FEATURE_LEVELS=4 -> extra /64 level, lowest-res first
+        (the reference yaml's "4s_dowsample1" semantics)."""
+        from vision_instance_seg_tpu.models.pixel_decoder import (
+            build_pixel_decoder)
+
+        cfg = tiny_cfg()
+        cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = 4
+        pd = build_pixel_decoder(cfg)
+        feats = {
+            "res2": jnp.ones((1, 16, 16, 32)),
+            "res3": jnp.ones((1, 8, 8, 32)),
+            "res4": jnp.ones((1, 4, 4, 32)),
+            "res5": jnp.ones((1, 2, 2, 32)),
+        }
+        params = pd.init(jax.random.key(0), feats)
+        mask_features, multi_scale = pd.apply(params, feats)
+        assert len(multi_scale) == 4
+        # lowest resolution first: /64 extra level = ceil(res5 / 2) = 1x1
+        assert multi_scale[0].shape[1:3] == (1, 1)
+        assert multi_scale[1].shape[1:3] == (2, 2)
+        assert multi_scale[3].shape[1:3] == (8, 8)
+        assert mask_features.shape[1:3] == (16, 16)
+        # encoder token count = sum over ALL 4 scales
+        # (asserted indirectly by level_embed rows)
+        lv = params["params"]["level_embed"]
+        assert lv.shape[0] == 4
+
+    def test_maskdino_4scale_forward_and_train(self):
+        from vision_instance_seg_tpu.engine.solver import make_optimizer
+        from vision_instance_seg_tpu.engine.trainer import (
+            TrainState, make_train_step)
+        from vision_instance_seg_tpu.models import build_model, normalize_image
+
+        cfg = tiny_dino_cfg()
+        cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = 4
+        model, params, x = _init(cfg)
+        out = model.apply(params, x)
+        assert out["pred_logits"].shape[-2:] == (8, 1)
+        assert np.isfinite(np.asarray(out["pred_masks"])).all()
+
+        tx = make_optimizer(cfg, params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params))
+        step = make_train_step(cfg, model, tx)
+        masks = np.zeros((1, 4, 64, 64), np.uint8)
+        masks[:, 0, 8:32, 8:32] = 1
+        batch = {"image": jnp.full((1, 64, 64, 3), 128.0),
+                 "gt_classes": jnp.zeros((1, 4), jnp.int32),
+                 "gt_boxes": jnp.asarray([[[8, 8, 32, 32]] * 4], jnp.float32),
+                 "gt_masks": jnp.asarray(masks),
+                 "num_instances": jnp.ones((1,), jnp.int32)}
+        _, logs = step(state, batch, jax.random.key(0))
+        assert np.isfinite(float(logs["loss_total"]))
+
+
+class TestLearnTgt:
+    def test_learned_queries_param_exists_and_forward(self):
+        cfg = tiny_dino_cfg()
+        cfg.MODEL.MASK_DINO.LEARN_TGT = True
+        model, params, x = _init(cfg)
+        assert "query_feat" in params["params"]["predictor"]
+        out = model.apply(params, x)
+        assert np.isfinite(np.asarray(out["pred_logits"])).all()
+
+
+class TestInitializeBoxType:
+    def test_masks_to_boxes(self):
+        from vision_instance_seg_tpu.models.maskdino_decoder import (
+            masks_to_boxes_cxcywh)
+
+        m = np.full((2, 8, 8), -1.0, np.float32)
+        m[0, 2:5, 1:7] = 1.0          # rows 2-4, cols 1-6
+        boxes, valid = masks_to_boxes_cxcywh(jnp.asarray(m))
+        assert bool(valid[0]) and not bool(valid[1])
+        np.testing.assert_allclose(
+            np.asarray(boxes[0]),
+            [(1 + 7) / 16, (2 + 5) / 16, 6 / 8, 3 / 8], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(boxes[1]), 0.0)
+
+    @pytest.mark.parametrize("box_type", ["bitmask", "mask2box"])
+    def test_forward(self, box_type):
+        cfg = tiny_dino_cfg()
+        cfg.MODEL.MASK_DINO.INITIALIZE_BOX_TYPE = box_type
+        model, params, x = _init(cfg)
+        out = model.apply(params, x)
+        b = np.asarray(out["pred_boxes"])
+        assert ((b >= 0) & (b <= 1)).all()
+        assert np.isfinite(np.asarray(out["pred_logits"])).all()
+
+
+class TestSemanticCELoss:
+    def test_forward_train_and_inference(self):
+        from vision_instance_seg_tpu.engine.solver import make_optimizer
+        from vision_instance_seg_tpu.engine.trainer import (
+            TrainState, make_train_step)
+        from vision_instance_seg_tpu.models import make_inference_fn
+
+        cfg = tiny_dino_cfg()
+        cfg.MODEL.MASK_DINO.SEMANTIC_CE_LOSS = True
+        model, params, x = _init(cfg)
+        out = model.apply(params, x)
+        # +1 no-object channel
+        assert out["pred_logits"].shape[-1] == 2
+        assert out["enc_cls"].shape[-1] == 2
+
+        infer = make_inference_fn(model, cfg)
+        res = infer(params, jnp.full((1, 64, 64, 3), 128.0))
+        s = np.asarray(res["scores"])
+        assert ((s >= 0) & (s <= 1)).all()
+
+        # train step last: it donates (and so invalidates) params
+        tx = make_optimizer(cfg, params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params))
+        step = make_train_step(cfg, model, tx)
+        masks = np.zeros((1, 4, 64, 64), np.uint8)
+        masks[:, 0, 8:32, 8:32] = 1
+        batch = {"image": jnp.full((1, 64, 64, 3), 128.0),
+                 "gt_classes": jnp.zeros((1, 4), jnp.int32),
+                 "gt_boxes": jnp.asarray([[[8, 8, 32, 32]] * 4], jnp.float32),
+                 "gt_masks": jnp.asarray(masks),
+                 "num_instances": jnp.ones((1,), jnp.int32)}
+        _, logs = step(state, batch, jax.random.key(0))
+        assert np.isfinite(float(logs["loss_total"]))

@@ -67,6 +67,10 @@ def setup_cfg(train_name: Optional[str] = None,
     cfg = get_cfg()
     cfg.MODEL.MASK_DINO.ENABLED = True
     cfg.MODEL.BACKBONE.NAME = "resnet"          # R-50 base yaml
+    # MaskDINO base yaml: CLASS_WEIGHT 4.0 (Mask2Former default is 2.0)
+    cfg.MODEL.MASK_FORMER.CLASS_WEIGHT = 4.0
+    # "4s_dowsample1": 4 encoder scales (res3-5 + one /64 downsample)
+    cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = 4
     cfg.MODEL.WEIGHTS = weights
     if train_name:
         cfg.DATASETS.TRAIN = [train_name]

@@ -42,6 +42,10 @@ class DinoCriterionConfig(NamedTuple):
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
     deep_supervision: bool = True
+    # MODEL.MASK_DINO.SEMANTIC_CE_LOSS: softmax CE over num_classes+1
+    # logits (no-object channel, weight no_object_weight) instead of focal
+    semantic_ce_loss: bool = False
+    no_object_weight: float = 0.1
     # see criterion.CriterionConfig: TPU-fast variants vs reference parity
     matcher: str = "hungarian"
     point_mode: str = "random"
@@ -57,6 +61,8 @@ def dino_criterion_config_from_cfg(cfg) -> DinoCriterionConfig:
         oversample_ratio=m.OVERSAMPLE_RATIO,
         importance_sample_ratio=m.IMPORTANCE_SAMPLE_RATIO,
         deep_supervision=m.DEEP_SUPERVISION,
+        semantic_ce_loss=cfg.MODEL.MASK_DINO.SEMANTIC_CE_LOSS,
+        no_object_weight=m.NO_OBJECT_WEIGHT,
         matcher=m.get("MATCHER", "hungarian"),
         point_mode=m.get("POINT_MODE", "random"))
 
@@ -78,9 +84,15 @@ def _focal_class_cost(cls_logits, gt_classes, alpha, gamma):
     p = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
     neg = (1 - alpha) * (p ** gamma) * (-jnp.log1p(-p + 1e-8))
     pos = alpha * ((1 - p) ** gamma) * (-jnp.log(p + 1e-8))
-    c = gt_classes.shape[0]
     idx = jnp.clip(gt_classes, 0, cls_logits.shape[1] - 1)
     return pos[:, idx] - neg[:, idx]
+
+
+def _ce_class_cost(cls_logits, gt_classes, num_classes):
+    """SEMANTIC_CE_LOSS matching cost: -softmax_prob[gt] ((Q,C+1) logits)."""
+    p = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+    idx = jnp.clip(gt_classes, 0, num_classes - 1)
+    return -p[:, idx]
 
 
 def dino_hungarian_match(cls_logits, pred_pts, gt_pts, pred_boxes, gt_boxes,
@@ -92,8 +104,11 @@ def dino_hungarian_match(cls_logits, pred_pts, gt_pts, pred_boxes, gt_boxes,
     """
 
     def per_image(cls_l, pr_pts, g_pts, pr_box, g_box, g_cls, valid):
-        c_class = _focal_class_cost(cls_l, g_cls, cc.focal_alpha,
-                                    cc.focal_gamma)
+        if cc.semantic_ce_loss:
+            c_class = _ce_class_cost(cls_l, g_cls, cc.num_classes)
+        else:
+            c_class = _focal_class_cost(cls_l, g_cls, cc.focal_alpha,
+                                        cc.focal_gamma)
         c_mask = batch_sigmoid_ce_cost(pr_pts.astype(jnp.float32),
                                        g_pts.astype(jnp.float32))
         c_dice = batch_dice_cost(pr_pts.astype(jnp.float32),
@@ -126,14 +141,29 @@ def _matched_losses(key, cls_logits, mask_logits, boxes, gt_classes,
     num_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
     bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, m))
 
-    # focal classification: one-hot targets at matched queries
-    onehot = jnp.zeros((b, q, cc.num_classes), jnp.float32)
     qidx = jnp.where(gt_valid, gt_to_query, q)
     cls_t = jnp.clip(gt_classes, 0, cc.num_classes - 1)
-    onehot = onehot.at[bidx, qidx, cls_t].set(1.0, mode="drop")
-    loss_cls = sigmoid_focal_loss(cls_logits.astype(jnp.float32), onehot,
-                                  cc.focal_alpha, cc.focal_gamma)
-    loss_cls = loss_cls.mean(-1).sum() * q / num_masks
+    if cc.semantic_ce_loss:
+        # softmax CE with a no-object channel, no-object weight 0.1
+        # (same convention as the Mask2Former criterion)
+        target_cls = jnp.full((b, q), cc.num_classes, jnp.int32)
+        target_cls = target_cls.at[bidx, qidx].set(cls_t, mode="drop")
+        logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, target_cls[..., None],
+                                   axis=-1)[..., 0]
+        wce = jnp.where(target_cls == cc.num_classes, cc.no_object_weight,
+                        1.0)
+        loss_cls = (nll * wce).sum() / wce.sum()
+    else:
+        # focal classification: one-hot targets at matched queries.
+        # DINO normalization: elementwise-sum / num_boxes. (Round-1 bug:
+        # "mean(classes) * Q / num_boxes" overweighted cls by Q/C = ~100x
+        # with one class and crippled MaskDINO training — VERDICT r1.)
+        onehot = jnp.zeros((b, q, cc.num_classes), jnp.float32)
+        onehot = onehot.at[bidx, qidx, cls_t].set(1.0, mode="drop")
+        loss_cls = sigmoid_focal_loss(cls_logits.astype(jnp.float32), onehot,
+                                      cc.focal_alpha, cc.focal_gamma)
+        loss_cls = loss_cls.sum() / num_masks
 
     # boxes
     pr_box = jnp.take_along_axis(boxes, gt_to_query[..., None], axis=1)
@@ -203,16 +233,28 @@ def _dn_losses(key, cls_logits, mask_logits, boxes, dn_meta, gt_classes,
 
     # classification over ALL dn queries: pos -> gt class, neg -> background
     pos_mask = dn_meta["pos_mask"]                       # (B, T)
-    t = groups * 2 * m
     rep_cls = jnp.tile(jnp.clip(gt_classes, 0, cc.num_classes - 1),
                        (1, 2 * groups))                  # (B, T)
-    onehot = jax.nn.one_hot(rep_cls, cc.num_classes) \
-        * pos_mask[..., None].astype(jnp.float32)
-    loss_cls = sigmoid_focal_loss(cls_logits.astype(jnp.float32), onehot,
-                                  cc.focal_alpha, cc.focal_gamma)
     dn_valid = jnp.tile(gt_valid, (1, 2 * groups))
-    loss_cls = (loss_cls.mean(-1) * dn_valid).sum() * t / (
-        jnp.maximum(dn_valid.sum(), 1.0)) / jnp.maximum(num_masks, 1.0)
+    if cc.semantic_ce_loss:
+        # pos dn -> gt class, neg dn -> no-object; padded dn slots excluded
+        target_cls = jnp.where(pos_mask, rep_cls, cc.num_classes)
+        logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, target_cls[..., None],
+                                   axis=-1)[..., 0]
+        wce = jnp.where(pos_mask, 1.0, cc.no_object_weight) \
+            * dn_valid.astype(jnp.float32)
+        loss_cls = (nll * wce).sum() / jnp.maximum(wce.sum(), 1.0)
+    else:
+        onehot = jax.nn.one_hot(rep_cls, cc.num_classes) \
+            * pos_mask[..., None].astype(jnp.float32)
+        # same DINO normalization as the match branch: elementwise sum over
+        # the (valid) dn queries / (num_boxes * groups); padded dn slots
+        # masked out (the torch reference is ragged, nothing to mask)
+        loss_cls = sigmoid_focal_loss(cls_logits.astype(jnp.float32), onehot,
+                                      cc.focal_alpha, cc.focal_gamma)
+        loss_cls = (loss_cls.sum(-1) * dn_valid).sum() / jnp.maximum(
+            num_masks, 1.0)
 
     # box + mask losses on positive dn queries only, assignment = identity
     total = jnp.zeros(())

@@ -133,6 +133,16 @@ class MaskDINODecoder(nn.Module):
     dn_noise_scale: float = 0.4
     dn_label_noise_ratio: float = 0.2
     initial_pred: bool = True
+    # learned content queries even in two-stage mode (MODEL.MASK_DINO.
+    # LEARN_TGT): boxes still come from the top-K proposals
+    learn_tgt: bool = False
+    # "no" | "bitmask" | "mask2box": initialize decoder reference boxes from
+    # the two-stage proposal MASKS (tight box around mask>0; both reference
+    # variants compute the same bounds, they differ only in implementation)
+    initialize_box_type: str = "no"
+    # softmax-CE classification (num_classes+1 logits with a no-object
+    # channel) instead of sigmoid/focal (MODEL.MASK_DINO.SEMANTIC_CE_LOSS)
+    semantic_ce_loss: bool = False
     # "deformable": MaskDINO-parity sparse sampling around reference boxes.
     # "dense": TPU-native dense cross-attention over all multi-scale tokens
     # (2 GFLOP/layer MXU matmuls instead of scattered bilinear gathers).
@@ -140,9 +150,13 @@ class MaskDINODecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     core_fn: Optional[DeformCoreFn] = None
 
+    @property
+    def _num_cls_out(self) -> int:
+        return self.num_classes + (1 if self.semantic_ce_loss else 0)
+
     def _heads(self):
         return (LayerNorm(dtype=self.dtype, name="decoder_norm"),
-                nn.Dense(self.num_classes, dtype=jnp.float32,
+                nn.Dense(self._num_cls_out, dtype=jnp.float32,
                          name="class_embed"),
                 MLPHead(self.hidden_dim, self.mask_dim, 3, dtype=self.dtype,
                         name="mask_embed"),
@@ -193,7 +207,7 @@ class MaskDINODecoder(nn.Module):
         # ---------------- two-stage proposals
         enc = nn.Dense(c, dtype=self.dtype, name="enc_output")(value)
         enc = LayerNorm(dtype=self.dtype, name="enc_output_norm")(enc)
-        enc_cls = nn.Dense(self.num_classes, dtype=jnp.float32,
+        enc_cls = nn.Dense(self._num_cls_out, dtype=jnp.float32,
                            name="enc_class_embed")(enc.astype(jnp.float32))
         enc_delta = MLPHead(c, 4, 3, dtype=jnp.float32,
                             name="enc_box_embed")(enc.astype(jnp.float32))
@@ -210,7 +224,9 @@ class MaskDINODecoder(nn.Module):
         enc_boxes = jax.nn.sigmoid(enc_delta
                                    + inverse_sigmoid(anchors)[None])
         if self.two_stage:
-            score = enc_cls.max(axis=-1)                   # (B, S)
+            # foreground channels only (under SEMANTIC_CE_LOSS the last
+            # logit is no-object and must not drive proposal selection)
+            score = enc_cls[..., :self.num_classes].max(axis=-1)   # (B, S)
             _, top_idx = jax.lax.top_k(score, self.num_queries)
             tgt = jnp.take_along_axis(enc, top_idx[..., None], axis=1)
             tgt = jax.lax.stop_gradient(tgt)
@@ -221,6 +237,19 @@ class MaskDINODecoder(nn.Module):
             out["enc_boxes"] = jnp.take_along_axis(
                 enc_boxes, top_idx[..., None], axis=1)
             _, out["enc_masks"] = self._predict(heads, tgt, mask_features)
+            if self.learn_tgt:
+                # learned content queries; boxes still from the proposals
+                qf = self.param("query_feat", trunc_normal_init(),
+                                (self.num_queries, c), jnp.float32)
+                tgt = jnp.broadcast_to(qf[None], (b, self.num_queries, c)
+                                       ).astype(self.dtype)
+            if self.initialize_box_type != "no":
+                # tight boxes around the proposal masks replace the box-head
+                # refs (reference maskdino decoder: BitMasks/masks_to_boxes
+                # on out_masks.detach(); empty masks keep the head's box)
+                mb, mb_valid = masks_to_boxes_cxcywh(
+                    jax.lax.stop_gradient(out["enc_masks"]))
+                refs = jnp.where(mb_valid[..., None], mb, refs)
         else:
             qf = self.param("query_feat", trunc_normal_init(),
                             (self.num_queries, c), jnp.float32)
@@ -317,6 +346,34 @@ class MaskDINODecoder(nn.Module):
         return out
 
 
+def masks_to_boxes_cxcywh(masks: jnp.ndarray
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tight normalized cxcywh boxes around ``masks > 0``.
+
+    masks (..., H, W) logits. Static-shape equivalent of the reference's
+    BitMasks.get_bounding_boxes / masks_to_boxes (maskdino decoder
+    INITIALIZE_BOX_TYPE): per mask, the min/max row/col of positive pixels
+    (inclusive bounds, +1 on the max edge), normalized by (W, H). Returns
+    (boxes (..., 4), valid (...,)) — empty masks are flagged invalid.
+    """
+    h, w = masks.shape[-2:]
+    binm = masks > 0
+    rows = binm.any(-1)                                  # (..., H)
+    cols = binm.any(-2)                                  # (..., W)
+    yi = jnp.arange(h, dtype=jnp.float32)
+    xi = jnp.arange(w, dtype=jnp.float32)
+    big = 1e9
+    y0 = jnp.min(jnp.where(rows, yi, big), -1)
+    y1 = jnp.max(jnp.where(rows, yi, -big), -1) + 1.0
+    x0 = jnp.min(jnp.where(cols, xi, big), -1)
+    x1 = jnp.max(jnp.where(cols, xi, -big), -1) + 1.0
+    valid = rows.any(-1)
+    boxes = jnp.stack([(x0 + x1) / (2 * w), (y0 + y1) / (2 * h),
+                       (x1 - x0) / w, (y1 - y0) / h], -1)
+    boxes = jnp.clip(boxes, 0.0, 1.0)
+    return jnp.where(valid[..., None], boxes, 0.0), valid
+
+
 def _box_pos_embed(boxes: jnp.ndarray, dim: int) -> jnp.ndarray:
     """Sine embedding of (cx, cy, w, h) -> (..., 2*dim) -> project to dim.
 
@@ -350,11 +407,16 @@ def build_maskdino_decoder(cfg, dtype=jnp.float32,
         num_heads=m.NHEADS, dim_feedforward=m.DIM_FEEDFORWARD,
         dec_layers=m.DEC_LAYERS - 1,
         mask_dim=cfg.MODEL.SEM_SEG_HEAD.MASK_DIM,
-        num_levels=cfg.MODEL.SEM_SEG_HEAD.NUM_FEATURE_LEVELS,
+        # DINO-style decoder attends over ALL encoder scales (4 in the
+        # reference 4s config: res3-5 + the /64 downsample)
+        num_levels=cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS,
         num_points=cfg.MODEL.SEM_SEG_HEAD.DEFORM_NUM_POINTS,
         two_stage=md.TWO_STAGE, dn_groups=groups,
         dn_noise_scale=md.DN_NOISE_SCALE,
         dn_label_noise_ratio=md.DN_LABEL_NOISE_RATIO,
         initial_pred=md.INITIAL_PRED,
+        learn_tgt=md.LEARN_TGT,
+        initialize_box_type=md.INITIALIZE_BOX_TYPE,
+        semantic_ce_loss=md.SEMANTIC_CE_LOSS,
         cross_attention=md.get("CROSS_ATTENTION", "deformable"),
         dtype=dtype, core_fn=core_fn)

@@ -79,12 +79,12 @@ def build_model(cfg, dtype=None, window_attn_fn=None, deform_core_fn=None
         except ImportError:
             window_attn_fn = None
     if deform_core_fn is None and cfg.TPU.USE_PALLAS_DEFORM_ATTN:
-        try:
-            from vision_instance_seg_tpu.kernels.msdeform_attn import (
-                fused_ms_deform_attn)
-            deform_core_fn = fused_ms_deform_attn
-        except ImportError:
-            deform_core_fn = None
+        # fused_ms_deform_attn itself dispatches: blocked Pallas kernel for
+        # grid-aligned encoder queries on TPU, jnp core otherwise (CPU
+        # backend, decoder's free queries)
+        from vision_instance_seg_tpu.kernels.msdeform_attn import (
+            fused_ms_deform_attn)
+        deform_core_fn = fused_ms_deform_attn
     if cfg.MODEL.BACKBONE.NAME == "swin":
         backbone = build_swin(cfg, dtype=dtype, attn_fn=window_attn_fn)
     elif cfg.MODEL.BACKBONE.NAME == "resnet":
@@ -152,9 +152,15 @@ def maskdino_instance_inference(cls_logits: jnp.ndarray,
                                 topk: int = 100) -> Dict[str, jnp.ndarray]:
     """MaskDINO inference for ONE image: sigmoid scores, top-K over QxC.
 
-    cls_logits (Q, C) — no no-object channel; boxes (Q, 4) cxcywh in [0,1].
+    cls_logits (Q, C) — no no-object channel — for the default focal
+    classifier, or (Q, C+1) under MODEL.MASK_DINO.SEMANTIC_CE_LOSS (softmax
+    with the no-object channel dropped); boxes (Q, 4) cxcywh in [0,1].
     """
-    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    if cls_logits.shape[-1] == num_classes + 1:      # SEMANTIC_CE_LOSS
+        scores = jax.nn.softmax(cls_logits.astype(jnp.float32),
+                                axis=-1)[:, :-1]
+    else:
+        scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
     flat = scores.reshape(-1)
     k = min(topk, flat.shape[0])
     top_scores, top_idx = jax.lax.top_k(flat, k)

@@ -282,7 +282,10 @@ class MSDeformAttnPixelDecoder(nn.Module):
     num_points: int = 4
     ffn_dim: int = 1024
     common_stride: int = 4
-    num_decoder_levels: int = 3
+    # encoder scales; > len(transformer_in_features) adds extra stride-2
+    # downsampled levels (MaskDINO "4s_dowsample1": res3-5 + one /64 level,
+    # the reference's trained base yaml — train_original.py:256-260)
+    total_num_feature_levels: int = 3
     encoder_attention: str = "deformable"   # "deformable" | "full" | "window"
     encoder_window_size: int = 8
     remat: bool = False    # jax.checkpoint each encoder layer (backward HBM)
@@ -296,6 +299,20 @@ class MSDeformAttnPixelDecoder(nn.Module):
         # ordering follows the torch impl: input_proj list is reversed, i.e.
         # level 0 = lowest resolution)
         tf_feats = [features[f] for f in self.transformer_in_features][::-1]
+        # extra downsampled encoder levels (MaskDINO 4s "dowsample1"):
+        # stride-2 3x3 conv chain off the lowest-res backbone feature,
+        # lowest resolution first
+        extra = max(0, self.total_num_feature_levels - len(tf_feats))
+        extra_feats: List[jnp.ndarray] = []
+        prev = features[self.transformer_in_features[-1]]
+        for k in range(extra):
+            x = nn.Conv(self.conv_dim, (3, 3), strides=(2, 2),
+                        dtype=self.dtype, name=f"input_proj_ds{k}")(prev)
+            x = nn.GroupNorm(num_groups=32, name=f"input_proj_ds{k}_norm")(
+                x.astype(jnp.float32)).astype(self.dtype)
+            extra_feats.insert(0, x)
+            prev = x
+        tf_feats = extra_feats + tf_feats
         num_levels = len(tf_feats)
         b = tf_feats[0].shape[0]
 
@@ -304,10 +321,14 @@ class MSDeformAttnPixelDecoder(nn.Module):
                                  (num_levels, self.conv_dim), jnp.float32)
         for i, f in enumerate(tf_feats):
             h, w = f.shape[1], f.shape[2]
-            x = nn.Dense(self.conv_dim, dtype=self.dtype,
-                         name=f"input_proj{i}")(f)
-            x = nn.GroupNorm(num_groups=32, name=f"input_proj{i}_norm")(
-                x.astype(jnp.float32)).astype(self.dtype)
+            if i < extra:               # stride-2 path already projected
+                x = f
+            else:
+                x = nn.Dense(self.conv_dim, dtype=self.dtype,
+                             name=f"input_proj{i - extra}")(f)
+                x = nn.GroupNorm(num_groups=32,
+                                 name=f"input_proj{i - extra}_norm")(
+                    x.astype(jnp.float32)).astype(self.dtype)
             pos = position_embedding_sine(h, w, self.conv_dim, dtype=self.dtype)
             srcs.append(x.reshape(b, h * w, self.conv_dim))
             poss.append(jnp.broadcast_to(pos[None], (b, h * w, self.conv_dim))
@@ -375,8 +396,10 @@ class MSDeformAttnPixelDecoder(nn.Module):
 
         mask_features = nn.Conv(self.mask_dim, (1, 1), dtype=self.dtype,
                                 name="mask_features")(y)
-        multi_scale = outs[:self.num_decoder_levels]
-        return mask_features, multi_scale
+        # all encoder scales, lowest resolution first; consumers slice
+        # (Mask2Former decoder round-robins its NUM_FEATURE_LEVELS, the
+        # MaskDINO decoder attends over all TOTAL_NUM_FEATURE_LEVELS)
+        return mask_features, outs
 
 
 def build_pixel_decoder(cfg, dtype=jnp.float32,
@@ -391,7 +414,7 @@ def build_pixel_decoder(cfg, dtype=jnp.float32,
         num_encoder_layers=s.TRANSFORMER_ENC_LAYERS,
         num_heads=s.DEFORM_NUM_HEADS, num_points=s.DEFORM_NUM_POINTS,
         common_stride=s.COMMON_STRIDE,
-        num_decoder_levels=s.NUM_FEATURE_LEVELS,
+        total_num_feature_levels=s.TOTAL_NUM_FEATURE_LEVELS,
         encoder_attention=s.get("ENCODER_ATTENTION", "deformable"),
         encoder_window_size=s.get("ENCODER_WINDOW_SIZE", 8),
         remat=bool(cfg.TPU.get("REMAT_ENCODER", False)),
