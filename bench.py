@@ -45,6 +45,8 @@ def bench_infer(batch: int, iters: int, warmup: int = 3,
     if model_name == "maskdino":
         cfg.MODEL.MASK_DINO.ENABLED = True
         cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
+        # reference trained config is 4-scale ("4s_dowsample1")
+        cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = 4
     if backbone == "swin_b":
         cfg.MODEL.SWIN.EMBED_DIM = 128
         cfg.MODEL.SWIN.DEPTHS = [2, 2, 18, 2]
@@ -53,7 +55,11 @@ def bench_infer(batch: int, iters: int, warmup: int = 3,
         cfg.MODEL.BACKBONE.NAME = "resnet"
     model = build_model(cfg)
 
-    images = jnp.zeros((batch, image_hw, image_hw, 3), jnp.float32)
+    # random-content inputs: no op is data-dependent today, but an all-zero
+    # image would silently reward any future sparsity shortcut (VERDICT r1)
+    images = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (batch, image_hw, image_hw, 3)),
+        jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0),
                                  normalize_image(images[:1], cfg))
 

@@ -1,0 +1,356 @@
+"""Fused multi-scale deformable-attention sampling (Pallas, TPU).
+
+TPU-native replacement for the reference's compiled CUDA ``MSDeformAttn``
+op (MaskDINO maskdino/modeling/pixel_decoder/ops, reached via
+``add_maskdino_config``/``build_model`` — reference
+training/maskdino/train_original.py:29). This is the BASELINE.md
+north-star kernel: the reference-parity deformable encoder/decoder path
+runs through it.
+
+Why not a gather: TPU has no hardware gather unit — XLA lowers arbitrary
+row gathers element-serially (~70 ms per encoder layer at 800 px,
+docs/PERF.md), and Mosaic's ``dynamic_gather`` does not support these
+shapes. The kernel therefore reformulates scattered bilinear sampling as
+dense VPU + MXU work:
+
+- Queries are processed in spatial tiles of their own feature level (the
+  deformable encoder's queries ARE the multi-scale tokens, so each
+  tile's sampling locations cluster around the tile's normalized
+  footprint across ALL levels — reference points are shared normalized
+  coordinates).
+- For every value level, a halo window around the tile's footprint is
+  DMA'd from HBM into VMEM (window extents are compile-time constants;
+  origins are computed from the grid position).
+- Each (point, corner) contributes a vectorized iota-compare row into a
+  sparse selection matrix that already carries the bilinear lerp weights
+  TIMES the softmaxed attention weights; the whole sample-lerp-reduce
+  then collapses into ONE (S_tile x T_window) @ (T_window x head_dim)
+  matmul per (head, level) on the MXU. No gathers anywhere.
+
+Exactness contract: matches ``ms_deform_attn_core_jnp`` (same corner
+arithmetic and align_corners=False convention, fp32 accumulation, out-of-
+feature-map corners contribute exactly zero) whenever every sampling
+offset stays within ``halo`` pixels (of the sampled level) of the query
+tile footprint. That holds at the reference initialization (compass
+offsets <= num_points px) and for practically trained deformable
+checkpoints; samples farther than the halo are clamped to the window
+edge. The jnp core (models/deform_attn.py) remains the arbitrary-offset
+reference path and the CPU fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Default halo margin, in pixels of the *sampled* level. Offsets are
+# initialized to at most num_points (=4) px (deform_attn._offset_bias_init);
+# the halo bounds how far trained offsets may wander with exact results.
+DEFAULT_HALO = 6
+
+# Query tile extent (rows, cols) in the query's own level. 8x16 = 128
+# one-hot rows per tile; smaller tiles shrink the halo windows (less VPU
+# compare work) but add grid steps.
+TILE_H, TILE_W = 8, 16
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _window_extent(tile: int, src: int, dst: int, halo: int,
+                   align: int = 1) -> int:
+    """Static halo-window extent in the sampled level.
+
+    Query centers of a ``tile``-row slab of an ``src``-row level span
+    < ceil(tile * dst / src) pixels in a ``dst``-row level; +2*halo for
+    the offset margin, +2 for floor()/+1 bilinear corners. With
+    ``align`` > 1 (the W dim): Mosaic requires DMA slice sizes along the
+    sublane dim to be multiples of the 8-row tiling, and the origin is
+    aligned down by up to align-1, so the extent grows accordingly.
+    ``dst`` is the TRUE level extent; the padded buffer extent is
+    ``round_up(dst, align)`` and caps the window.
+    """
+    e = int(math.ceil(tile * dst / src)) + 2 * halo + 2
+    if align > 1:
+        e = _round_up(e + align - 1, align)
+    return min(_round_up(dst, align), e)
+
+
+def _window_origin(t, tile: int, src: int, dst: int, halo: int, extent: int,
+                   align: int = 1):
+    """Dynamic window origin (int32) from the tile index ``t``.
+
+    ``dst`` is the TRUE level extent (the center math needs the real
+    scale ratio); the clamp bound is the padded buffer extent, and aligned
+    origins stay aligned under it because both bounds are multiples of
+    ``align``.
+    """
+    first_center = (t.astype(jnp.float32) * tile + 0.5) * (dst / src) - 0.5
+    o = jnp.floor(first_center).astype(jnp.int32) - halo
+    o = jnp.clip(o, 0, _round_up(dst, align) - extent)
+    if align > 1:
+        # align LAST: Mosaic must statically prove the DMA offset divisible
+        # by the tiling, and it can't see through a trailing clip (the clip
+        # bounds are multiples of ``align``, so aligning after is safe)
+        o = (o // align) * align
+    return o
+
+
+def _encoder_level_pallas(level_values: Sequence[Sequence[jnp.ndarray]],
+                          loc_i: jnp.ndarray, aw_i: jnp.ndarray,
+                          qi_hw: Tuple[int, int],
+                          spatial_shapes: Sequence[Tuple[int, int]],
+                          num_heads: int, head_dim: int, num_points: int,
+                          halo: int, interpret: bool) -> jnp.ndarray:
+    """All queries of ONE level sample ALL levels. Returns (B,Hi,Wi,C) f32.
+
+    level_values: per level, a list of <=128-lane channel chunks
+    (B, Hj, Wj, lane) in HBM — the Mosaic window DMA only compiles for lane
+    counts <= 128, so C=256 is shipped as two chunks and each head reads
+    from its own chunk (head_dim divides 128).
+    loc_i: (B, Hi, Wi, nH*L*P*2) f32; aw_i: (B, Hi, Wi, nH*L*P) f32.
+    """
+    hi, wi = qi_hw
+    nh, hd, p = num_heads, head_dim, num_points
+    nl = len(spatial_shapes)
+    c = nh * hd
+    b = loc_i.shape[0]
+    th, tw = min(TILE_H, hi), min(TILE_W, wi)
+    s = th * tw
+    vdtype = level_values[0][0].dtype
+    lane = level_values[0][0].shape[-1]
+    nchunks = len(level_values[0])
+
+    # W extents/origins 8-aligned: Mosaic DMA slice sizes along the sublane
+    # dim must be multiples of the 8-row tiling (value buffers arrive with
+    # W padded to a multiple of 8 by the caller)
+    win_hw = [(_window_extent(th, hi, hj, halo),
+               _window_extent(tw, wi, wj, halo, align=8))
+              for (hj, wj) in spatial_shapes]
+    sublane = 16 if vdtype == jnp.bfloat16 else 8
+    t_pad = [_round_up(wh * ww, max(sublane, 128)) for (wh, ww) in win_hw]
+
+    # tile grid is FLATTENED to one axis: a 3D pallas grid crashes this
+    # platform's Mosaic compiler (tpu_compile_helper exit 1 on any 3D-grid
+    # kernel with ANY-space refs; bisected 2026-08-16, /tmp/probe10 vs 11)
+    nti, ntj = pl.cdiv(hi, th), pl.cdiv(wi, tw)
+
+    def kernel(loc_ref, aw_ref, *refs):
+        nv = nl * nchunks
+        val_refs = refs[:nv]                 # [j * nchunks + k]
+        out_ref = refs[nv]
+        win_scratch = refs[nv + 1:nv + 1 + nv]
+        sems = refs[nv + 1 + nv]
+
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        ti = t // ntj
+        tj = t % ntj
+
+        # start all window DMAs up front; compute overlaps the later ones
+        copies, origins = [], []
+        for j, (hj, wj) in enumerate(spatial_shapes):
+            wh, ww = win_hw[j]
+            y0 = _window_origin(ti, th, hi, hj, halo, wh)
+            x0 = _window_origin(tj, tw, wi, wj, halo, ww, align=8)
+            for k in range(nchunks):
+                i = j * nchunks + k
+                dma = pltpu.make_async_copy(
+                    val_refs[i].at[bi, pl.ds(y0, wh), pl.ds(x0, ww), :],
+                    win_scratch[i], sems.at[i])
+                dma.start()
+                copies.append(dma)
+            origins.append((y0, x0))
+
+        # keep 2D: Mosaic supports collapsing leading dims onto sublanes but
+        # not splitting the lane dim — address (h, j, p) via static lane
+        # slices of the flat layout instead
+        loc = loc_ref[0].reshape(s, nh * nl * p * 2).astype(jnp.float32)
+        aw = aw_ref[0].reshape(s, nh * nl * p).astype(jnp.float32)
+
+        out_acc = [jnp.zeros((s, hd), jnp.float32) for _ in range(nh)]
+        for j, (hj, wj) in enumerate(spatial_shapes):
+            wh, ww = win_hw[j]
+            y0, x0 = origins[j]
+            winf = []
+            for k in range(nchunks):
+                i = j * nchunks + k
+                copies[i].wait()
+                wk = win_scratch[i][:].reshape(wh * ww, lane)
+                if t_pad[j] > wh * ww:
+                    wk = jnp.pad(wk, ((0, t_pad[j] - wh * ww), (0, 0)))
+                winf.append(wk)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad[j]), 1)
+            for h in range(nh):
+                acc = jnp.zeros((s, t_pad[j]), jnp.float32)
+                for pt in range(p):
+                    base = ((h * nl + j) * p + pt) * 2
+                    x = loc[:, base:base + 1] * wj - 0.5          # (S,1)
+                    y = loc[:, base + 1:base + 2] * hj - 0.5
+                    # clip BEFORE the int cast: padded-tile rows carry
+                    # garbage loc; real out-of-map samples keep weight 0
+                    xf = jnp.clip(jnp.floor(x), -2.0, float(wj))
+                    yf = jnp.clip(jnp.floor(y), -2.0, float(hj))
+                    lx = x - xf
+                    ly = y - yf
+                    xi = xf.astype(jnp.int32)
+                    yi = yf.astype(jnp.int32)
+                    ai = (h * nl + j) * p + pt
+                    a = aw[:, ai:ai + 1]                          # (S,1)
+                    for dy in (0, 1):
+                        wy = ly if dy else 1.0 - ly
+                        gy = yi + dy
+                        vy = (gy >= 0) & (gy < hj)
+                        ry = jnp.clip(gy - y0, 0, wh - 1)
+                        for dx in (0, 1):
+                            wx = lx if dx else 1.0 - lx
+                            gx = xi + dx
+                            valid = vy & (gx >= 0) & (gx < wj)
+                            rx = jnp.clip(gx - x0, 0, ww - 1)
+                            idx = ry * ww + rx                    # (S,1)
+                            wgt = jnp.where(valid, wy * wx * a, 0.0)
+                            acc = acc + jnp.where(iota == idx, wgt, 0.0)
+                off = (h * hd) % lane
+                out_acc[h] = out_acc[h] + jnp.dot(
+                    acc.astype(vdtype),
+                    winf[(h * hd) // lane][:, off:off + hd],
+                    preferred_element_type=jnp.float32)
+
+        out_ref[0] = jnp.concatenate(out_acc, axis=-1).reshape(th, tw, c)
+
+    grid = (b, nti * ntj)
+    imap = lambda bb, t: (bb, t // ntj, t % ntj, 0)
+    flops_win = sum(2 * s * tp * hd * nh for tp in t_pad)
+    flat_values = [v for halves in level_values for v in halves]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, tw, nh * nl * p * 2), imap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw, nh * nl * p), imap,
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * (nl * nchunks),
+        out_specs=pl.BlockSpec((1, th, tw, c), imap,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hi, wi, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((wh, ww, lane), vdtype)
+                        for (wh, ww) in win_hw for _ in range(nchunks)]
+        + [pltpu.SemaphoreType.DMA((nl * nchunks,))],
+        cost_estimate=pl.CostEstimate(
+            flops=grid[0] * grid[1] * flops_win,
+            bytes_accessed=sum(v.size * v.dtype.itemsize
+                               for v in flat_values)
+            + loc_i.size * 4 + aw_i.size * 4 + b * hi * wi * c * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(loc_i, aw_i, *flat_values)
+
+
+def ms_deform_attn_encoder_pallas(value: jnp.ndarray,
+                                  spatial_shapes: Sequence[Tuple[int, int]],
+                                  locations: jnp.ndarray,
+                                  weights: jnp.ndarray,
+                                  halo: int = DEFAULT_HALO,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """Deformable-encoder sampling core (queries == the multi-scale grid).
+
+    Same contract as ``ms_deform_attn_core_jnp``: value (B, sum HW, nH, hd),
+    locations (B, Q, nH, L, P, 2), weights (B, Q, nH, L, P); Q == sum HW and
+    query q's location tile is its own grid position. Returns (B, Q, nH*hd)
+    f32.
+    """
+    b, sumhw, nh, hd = value.shape
+    nl = len(spatial_shapes)
+    p = weights.shape[-1]
+    c = nh * hd
+    assert locations.shape[1] == sumhw, (
+        "encoder kernel requires one query per multi-scale token; use "
+        "ms_deform_attn_queries_pallas / the jnp core for free queries")
+
+    assert c <= 128 or (c % 128 == 0 and 128 % hd == 0), (
+        "channel chunking requires head_dim to divide 128")
+    splits = [h * w for h, w in spatial_shapes]
+    offs = np.cumsum([0] + splits)
+    lane = min(c, 128)
+    levels = []
+    for j, (h, w) in enumerate(spatial_shapes):
+        full = value[:, offs[j]:offs[j + 1]].reshape(b, h, w, c)
+        wp = _round_up(w, 8)     # sublane-dim DMA slices must be 8-aligned
+        if wp > w:
+            full = jnp.pad(full, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        levels.append([full[..., k * lane:(k + 1) * lane]
+                       for k in range(c // lane)])
+
+    outs = []
+    for i, (h, w) in enumerate(spatial_shapes):
+        loc_i = locations[:, offs[i]:offs[i + 1]].astype(jnp.float32)
+        aw_i = weights[:, offs[i]:offs[i + 1]].astype(jnp.float32)
+        loc_i = loc_i.reshape(b, h, w, nh * nl * p * 2)
+        aw_i = aw_i.reshape(b, h, w, nh * nl * p)
+        out = _encoder_level_pallas(levels, loc_i, aw_i, (h, w),
+                                    spatial_shapes, nh, hd, p, halo,
+                                    interpret)
+        outs.append(out.reshape(b, splits[i], c))
+    return jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _encoder_pallas_diff(value, spatial_shapes, locations, weights):
+    """Pallas forward with a jnp-core backward.
+
+    ``pallas_call`` has no autodiff rule; the VJP differentiates the
+    mathematically-identical jnp core instead (XLA scatter-gather — slower
+    than the forward kernel but exact; a dedicated backward kernel can
+    replace it without touching callers)."""
+    return ms_deform_attn_encoder_pallas(value, spatial_shapes, locations,
+                                         weights)
+
+
+def _encoder_pallas_fwd(value, spatial_shapes, locations, weights):
+    out = ms_deform_attn_encoder_pallas(value, spatial_shapes, locations,
+                                        weights)
+    return out, (value, locations, weights)
+
+
+def _encoder_pallas_bwd(spatial_shapes, res, g):
+    from vision_instance_seg_tpu.models.deform_attn import (
+        ms_deform_attn_core_jnp)
+
+    value, locations, weights = res
+    _, vjp = jax.vjp(
+        lambda v, l, w: ms_deform_attn_core_jnp(v, spatial_shapes, l, w),
+        value, locations, weights)
+    return vjp(g)
+
+
+_encoder_pallas_diff.defvjp(_encoder_pallas_fwd, _encoder_pallas_bwd)
+
+
+def fused_ms_deform_attn(value: jnp.ndarray,
+                         spatial_shapes: Sequence[Tuple[int, int]],
+                         locations: jnp.ndarray,
+                         weights: jnp.ndarray) -> jnp.ndarray:
+    """DeformCoreFn entry point (models/deform_attn.MSDeformAttn.core_fn).
+
+    Dispatch: grid-aligned encoder queries -> blocked Pallas kernel on TPU
+    (differentiable via the jnp-core VJP); anything else (decoder's free
+    queries, CPU backend) -> the jnp core.
+    """
+    from vision_instance_seg_tpu.models.deform_attn import (
+        ms_deform_attn_core_jnp)
+
+    sumhw = sum(h * w for h, w in spatial_shapes)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and locations.shape[1] == sumhw:
+        return _encoder_pallas_diff(value, tuple(map(tuple, spatial_shapes)),
+                                    locations, weights)
+    return ms_deform_attn_core_jnp(value, spatial_shapes, locations, weights)
