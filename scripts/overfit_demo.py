@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--maskdino", action="store_true")
+    # criterion A/B (VERDICT r1 #4): exact-vs-greedy matcher and
+    # grid-vs-random point sampling, measured on the same data/seed
+    ap.add_argument("--matcher", default="greedy",
+                    choices=["greedy", "hungarian", "hungarian_dfs"])
+    ap.add_argument("--points", default="grid", choices=["grid", "random"])
     args = ap.parse_args()
 
     import jax
@@ -53,9 +58,11 @@ def main():
         cfg.MODEL.MASK_DINO.ENABLED = True
         cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
         cfg.MODEL.MASK_DINO.DN_NUM = 16
+        # MaskDINO base yaml class weight (4.0 vs Mask2Former's 2.0)
+        cfg.MODEL.MASK_FORMER.CLASS_WEIGHT = 4.0
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "window"
-    cfg.MODEL.MASK_FORMER.MATCHER = "greedy"
-    cfg.MODEL.MASK_FORMER.POINT_MODE = "grid"
+    cfg.MODEL.MASK_FORMER.MATCHER = args.matcher
+    cfg.MODEL.MASK_FORMER.POINT_MODE = args.points
     cfg.MODEL.MASK_FORMER.TRAIN_NUM_POINTS = 4096
     cfg.MODEL.SWIN.USE_CHECKPOINT = True
     cfg.TPU.REMAT_ENCODER = True
@@ -93,6 +100,7 @@ def main():
         "value": round(float(res["segm"]["AP50"]), 2),
         "unit": "AP50",
         "detail": {"steps": args.steps, "train_s": round(train_s, 1),
+                   "matcher": args.matcher, "points": args.points,
                    "final_loss": round(float(logs["loss_total"]), 3),
                    "segm": {k: round(float(v), 2)
                             for k, v in res["segm"].items()},

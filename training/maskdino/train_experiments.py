@@ -43,6 +43,8 @@ def train_experiment(exp_name: str, args) -> dict:
                     output_dir=out_dir, batch_size=args.batch_size,
                     lr=args.lr, max_iter=args.max_iter, amp=args.amp,
                     weights=args.pretrained_model, opts=args.opts)
+    # --num-chips (reference --num-gpus) sets the data axis of the SPMD mesh
+    cfg.TPU.MESH_SHAPE = [int(args.num_chips), 1]
     cfg.freeze()
 
     trainer = Trainer(cfg)

