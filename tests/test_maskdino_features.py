@@ -150,3 +150,38 @@ class TestSemanticCELoss:
                  "num_instances": jnp.ones((1,), jnp.int32)}
         _, logs = step(state, batch, jax.random.key(0))
         assert np.isfinite(float(logs["loss_total"]))
+
+
+def test_dn_negative_noise_shell():
+    """CDN noise convention (DINO): positive dn boxes jitter each coord by
+    part*diff*scale with part ~ U[0,1); NEGATIVES use part ~ U[1,2) — a
+    shell strictly outside the positive range, keeping the two populations
+    geometrically separable. (Sampling negatives from U[0,2) overlapped the
+    positives and made dn classification ambiguous: loss_dn plateaued and
+    its gradient drowned the matched losses.)"""
+    import jax
+
+    from vision_instance_seg_tpu.models.maskdino_decoder import (
+        build_dn_queries)
+
+    b, m, groups, scale = 3, 5, 4, 0.4
+    gt_cls = jnp.zeros((b, m), jnp.int32)
+    # centered boxes far from the [1e-4, 1] clip so the shell is observable
+    gt_boxes = jnp.tile(jnp.asarray([[0.5, 0.5, 0.4, 0.3]], jnp.float32),
+                        (b, m, 1))[..., :4].reshape(b, m, 4)
+    gt_valid = jnp.ones((b, m), bool)
+    labels, boxes, pos = build_dn_queries(
+        jax.random.key(0), gt_cls, gt_boxes, gt_valid, 1, groups, scale, 0.0)
+    t = groups * 2 * m
+    assert boxes.shape == (b, t, 4) and pos.shape == (b, t)
+    diff = np.asarray([0.2, 0.15, 0.2, 0.15]) * scale     # (w/2, h/2) * s
+    delta = np.abs(np.asarray(boxes).reshape(b, groups, 2, m, 4)
+                   - np.asarray(gt_boxes)[:, None, None])
+    part = delta / diff
+    pos_part, neg_part = part[:, :, 0], part[:, :, 1]
+    assert pos_part.max() < 1.0 + 1e-5
+    assert neg_part.min() >= 1.0 - 1e-5
+    assert neg_part.max() < 2.0 + 1e-5
+    # pos_mask marks exactly the first half of each group
+    pm = np.asarray(pos).reshape(b, groups, 2, m)
+    assert pm[:, :, 0].all() and not pm[:, :, 1].any()

@@ -327,7 +327,7 @@ def maskdino_criterion(key, outputs: Dict, gt_classes, gt_masks,
             logs.update(ld)
 
         if dn_meta and t > 0:
-            dn_total, _dnl = _dn_losses(
+            dn_total, dnl = _dn_losses(
                 keys[li], cls_layers[li][:, :t], mask_layers[li][:, :t],
                 box_layers[li][:, :t], dn_meta, gt_classes, gt_masks,
                 gt_boxes_cxcywh, gt_valid, cc,
@@ -335,6 +335,8 @@ def maskdino_criterion(key, outputs: Dict, gt_classes, gt_masks,
             total = total + dn_total
             if li == n_layers - 1:
                 logs["loss_dn"] = dn_total
+                logs.update({f"dn_{k[5:]}": v for k, v in dnl.items()
+                             if k.startswith("loss_")})
 
     # encoder (two-stage) supervision: class + boxes + masks
     if "enc_cls" in outputs:

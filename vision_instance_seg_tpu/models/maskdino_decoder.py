@@ -65,23 +65,27 @@ def build_dn_queries(rng, gt_classes, gt_boxes_cxcywh, gt_valid, num_classes,
     k_lab, k_box, k_neg = jax.random.split(rng, 3)
 
     def one_group(key, negative: bool):
-        kl, kb1, kb2, kb3 = jax.random.split(key, 4)
+        kl, ksign, kpart = jax.random.split(key, 3)
         # label flip
         flip = jax.random.bernoulli(kl, label_noise_ratio * 0.5,
                                     (b, m))
         rand_lab = jax.random.randint(kl, (b, m), 0, num_classes)
         labels = jnp.where(flip, rand_lab, gt_classes)
-        # box noise: center jitter within +-w/2*scale, size jitter
-        cx, cy, w, h = (gt_boxes_cxcywh[..., 0], gt_boxes_cxcywh[..., 1],
-                        gt_boxes_cxcywh[..., 2], gt_boxes_cxcywh[..., 3])
-        s = noise_scale * (2.0 if negative else 1.0)
-        shift = (jax.random.uniform(kb1, (b, m, 2)) * 2 - 1) * s
-        cx = cx + shift[..., 0] * w / 2
-        cy = cy + shift[..., 1] * h / 2
-        size = 1.0 + (jax.random.uniform(kb2, (b, m, 2)) * 2 - 1) * s
-        w = w * size[..., 0]
-        h = h * size[..., 1]
-        boxes = jnp.stack([cx, cy, w, h], -1)
+        # box noise, DINO CDN convention: every coord of (cx, cy, w, h)
+        # jittered additively by sign * part * (w_or_h / 2) * scale with
+        # part ~ U[0,1) for positives and U[1,2) for NEGATIVES — the shell
+        # keeps the two distributions geometrically separable (sampling
+        # negatives from U[0,2) overlaps the positives and makes the dn
+        # classification task ambiguous: loss_dn plateaus and its gradient
+        # drowns the matched losses — diagnosed r2 on the overfit demo)
+        w = gt_boxes_cxcywh[..., 2]
+        h = gt_boxes_cxcywh[..., 3]
+        diff = jnp.stack([w / 2, h / 2, w / 2, h / 2], -1)   # (B, M, 4)
+        sign = jax.random.randint(ksign, (b, m, 4), 0, 2) * 2.0 - 1.0
+        part = jax.random.uniform(kpart, (b, m, 4))
+        if negative:
+            part = part + 1.0
+        boxes = gt_boxes_cxcywh + sign * part * diff * noise_scale
         boxes = jnp.clip(boxes, 1e-4, 1.0)
         return labels, boxes
 
