@@ -33,7 +33,7 @@ TARGET_MULTIPLIER = 3.0
 def bench_infer(batch: int, iters: int, warmup: int = 3,
                 image_hw: int = 800, encoder: str = "window",
                 model_name: str = "mask2former",
-                backbone: str = "swin_t") -> dict:
+                backbone: str = "swin_t", levels: int = 4) -> dict:
     from vision_instance_seg_tpu.config import get_cfg
     from vision_instance_seg_tpu.models import build_model, normalize_image
 
@@ -44,9 +44,12 @@ def bench_infer(batch: int, iters: int, warmup: int = 3,
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = encoder
     if model_name == "maskdino":
         cfg.MODEL.MASK_DINO.ENABLED = True
-        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
+        # TPU-native default is dense cross-attention; with the deformable
+        # (reference-parity) encoder, keep the decoder parity too
+        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = (
+            "deformable" if encoder == "deformable" else "dense")
         # reference trained config is 4-scale ("4s_dowsample1")
-        cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = 4
+        cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = levels
     if backbone == "swin_b":
         cfg.MODEL.SWIN.EMBED_DIM = 128
         cfg.MODEL.SWIN.DEPTHS = [2, 2, 18, 2]
@@ -124,6 +127,8 @@ def main():
                     choices=["mask2former", "maskdino"])
     ap.add_argument("--backbone", default="swin_t",
                     choices=["swin_t", "swin_b", "r50"])
+    ap.add_argument("--levels", type=int, default=4,
+                    help="MaskDINO encoder scales (4 = reference 4s yaml)")
     args = ap.parse_args()
 
     if jax.default_backend() == "cpu":    # keep CI/CPU smoke runs fast
@@ -131,7 +136,7 @@ def main():
 
     r = bench_infer(args.batch, args.iters, image_hw=args.image_size,
                     encoder=args.encoder, model_name=args.model,
-                    backbone=args.backbone)
+                    backbone=args.backbone, levels=args.levels)
     target = A100_SWIN_T_M2F_IMG_PER_SEC * TARGET_MULTIPLIER
     print(json.dumps({
         "metric": (f"{args.backbone}_{args.model}"

@@ -33,9 +33,13 @@ def main():
     ap.add_argument("--max-instances", type=int, default=20,
                     help="GT pad count; defect images have <= ~10 instances")
     ap.add_argument("--matcher", default="greedy",
-                    choices=["greedy", "hungarian"])
+                    choices=["greedy", "hungarian", "hungarian_dfs"])
     ap.add_argument("--point-mode", default="grid",
                     choices=["grid", "random"])
+    ap.add_argument("--backbone", default="swin", choices=["swin", "resnet"])
+    ap.add_argument("--cross", default="dense",
+                    choices=["dense", "deformable"],
+                    help="MaskDINO decoder cross-attention")
     args = ap.parse_args()
 
     from vision_instance_seg_tpu.config import get_cfg
@@ -53,9 +57,12 @@ def main():
     cfg.MODEL.MASK_FORMER.POINT_MODE = args.point_mode
     cfg.INPUT.MAX_INSTANCES = args.max_instances
     cfg.SOLVER.IMS_PER_BATCH = args.batch
+    cfg.MODEL.BACKBONE.NAME = args.backbone
     if args.maskdino:
         cfg.MODEL.MASK_DINO.ENABLED = True
-        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
+        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = args.cross
+        # reference trained config is 4-scale (4s_dowsample1)
+        cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = 4
     model = build_model(cfg)
 
     b, hw, m = args.batch, args.image_size, int(cfg.INPUT.MAX_INSTANCES)

@@ -123,7 +123,20 @@ def _encoder_level_pallas(level_values: Sequence[Sequence[jnp.ndarray]],
     nl = len(spatial_shapes)
     c = nh * hd
     b = loc_i.shape[0]
-    th, tw = min(TILE_H, hi), min(TILE_W, wi)
+    # tile extents PROPORTIONAL to the query level's resolution relative to
+    # the finest sampled level: a coarse query level's full-size tile spans
+    # (almost) entire fine value levels, ballooning halo windows — t_pad
+    # ~4000 per (25,25) tile at 3 scales, whole-level windows at 4 scales
+    # (whose compile OOM'd the remote helper). Scaled tiles keep every
+    # window O(tile span in the finest level).
+    max_h = max(h for h, _ in spatial_shapes)
+    max_w = max(w for _, w in spatial_shapes)
+    th = min(TILE_H, hi, max(2, round(TILE_H * hi / max_h)))
+    # Pallas requires the block's second-minor dim to be 8-divisible or the
+    # whole level width
+    tw = min(TILE_W, _round_up(max(1, round(TILE_W * wi / max_w)), 8))
+    if tw > wi:
+        tw = wi
     s = th * tw
     vdtype = level_values[0][0].dtype
     lane = level_values[0][0].shape[-1]
