@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--matcher", default="greedy",
                     choices=["greedy", "hungarian", "hungarian_dfs"])
     ap.add_argument("--points", default="grid", choices=["grid", "random"])
+    # MaskDINO mechanism ablations (localize training-quality regressions)
+    ap.add_argument("--no-dn", action="store_true",
+                    help="disable contrastive denoising queries")
+    ap.add_argument("--no-two-stage", action="store_true",
+                    help="learned queries instead of encoder proposals")
     args = ap.parse_args()
 
     import jax
@@ -60,6 +65,10 @@ def main():
         cfg.MODEL.MASK_DINO.DN_NUM = 16
         # MaskDINO base yaml class weight (4.0 vs Mask2Former's 2.0)
         cfg.MODEL.MASK_FORMER.CLASS_WEIGHT = 4.0
+        if args.no_dn:
+            cfg.MODEL.MASK_DINO.DN = "no"
+        if args.no_two_stage:
+            cfg.MODEL.MASK_DINO.TWO_STAGE = False
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "window"
     cfg.MODEL.MASK_FORMER.MATCHER = args.matcher
     cfg.MODEL.MASK_FORMER.POINT_MODE = args.points

@@ -100,23 +100,47 @@ def test_dispatch_falls_back_for_free_queries():
                                rtol=1e-6, atol=1e-6)
 
 
-def test_custom_vjp_backward_matches_jnp_core():
-    """The Pallas dispatch is differentiable: its VJP rule must produce
-    exactly the jnp core's gradients (training runs through it whenever
-    TPU.USE_PALLAS_DEFORM_ATTN is on)."""
-    from vision_instance_seg_tpu.kernels.msdeform_attn import (
-        _encoder_pallas_bwd)
+def test_custom_vjp_bwd_rule_uses_blocked_kernels():
+    """The custom_vjp backward rule routes to the blocked Pallas backward
+    (ms_deform_attn_encoder_bwd_pallas); its correctness is pinned by
+    test_blocked_backward_matches_jnp_vjp."""
+    from vision_instance_seg_tpu.kernels import msdeform_attn as K
 
+    calls = []
+    orig = K.ms_deform_attn_encoder_bwd_pallas
     value, loc, aw = _inputs(5)
-    g = jnp.asarray(np.random.default_rng(9).standard_normal(
-        (value.shape[0], value.shape[1],
-         value.shape[2] * value.shape[3])).astype(np.float32))
-    shapes = tuple(map(tuple, SHAPES))
-    got = _encoder_pallas_bwd(shapes, (value, loc, aw), g)
+    g = jnp.zeros((value.shape[0], value.shape[1], NH * HD), jnp.float32)
+    try:
+        K.ms_deform_attn_encoder_bwd_pallas = \
+            lambda *a, **k: calls.append(1) or orig(*a, interpret=True, **k)
+        out = K._encoder_pallas_bwd(tuple(map(tuple, SHAPES)),
+                                    (value, loc, aw), g)
+    finally:
+        K.ms_deform_attn_encoder_bwd_pallas = orig
+    assert calls and len(out) == 3
+    assert out[0].shape == value.shape
+
+
+@pytest.mark.parametrize("shapes", [SHAPES, [(10, 6), (5, 3), (3, 2)],
+                                    [(3, 3), (8, 8), (4, 4), (2, 2)]])
+def test_blocked_backward_matches_jnp_vjp(shapes):
+    """The blocked Pallas backward (query-centric dloc/daw + value-centric
+    dValue) must reproduce jax.vjp of the jnp core exactly (within f32
+    tolerance) for in-contract offsets."""
+    from vision_instance_seg_tpu.kernels.msdeform_attn import (
+        ms_deform_attn_encoder_bwd_pallas)
+
+    value, loc, aw = _inputs(11, shapes=shapes)
+    rng = np.random.default_rng(12)
+    q = sum(h * w for h, w in shapes)
+    g = jnp.asarray(rng.standard_normal(
+        (value.shape[0], q, NH * HD)).astype(np.float32))
+    got = ms_deform_attn_encoder_bwd_pallas(value, shapes, loc, aw, g,
+                                            interpret=True)
     _, vjp = jax.vjp(
-        lambda v, l, w: ms_deform_attn_core_jnp(v, SHAPES, l, w),
+        lambda v, l, w: ms_deform_attn_core_jnp(v, shapes, l, w),
         value, loc, aw)
     want = vjp(g)
-    for a, b in zip(got, want):
+    for name, a, b in zip(("d_value", "d_loc", "d_aw"), got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-6)
+                                   rtol=2e-4, atol=2e-4, err_msg=name)

@@ -258,6 +258,11 @@ def _encoder_level_pallas(level_values: Sequence[Sequence[jnp.ndarray]],
         scratch_shapes=[pltpu.VMEM((wh, ww, lane), vdtype)
                         for (wh, ww) in win_hw for _ in range(nchunks)]
         + [pltpu.SemaphoreType.DMA((nl * nchunks,))],
+        # the default 16 MiB scoped-vmem compiler limit is conservative on
+        # v5e; the finest-level kernel's unrolled body peaks ~17.5 MiB at 4
+        # scales (windows + one-hot accumulators)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=grid[0] * grid[1] * flops_win,
             bytes_accessed=sum(v.size * v.dtype.itemsize
@@ -316,14 +321,436 @@ def ms_deform_attn_encoder_pallas(value: jnp.ndarray,
     return jnp.concatenate(outs, axis=1)
 
 
+# --------------------------------------------------------------------------
+# Backward kernels.
+#
+# The same blocked no-gather strategy as the forward, split by output:
+#
+# - d(locations)/d(weights) are QUERY-shaped: one query-centric kernel per
+#   query level with the forward's exact window geometry. Per (level, head)
+#   a single NT matmul M = g_h @ V_win^T puts the cotangent-weighted value
+#   of EVERY window token in (S, T_pad); each (point, corner) then reads
+#   its token with one masked row-reduction, and the chain rule closes with
+#   scalar-column arithmetic (bilinear weight derivatives).
+# - d(value) is VALUE-shaped: one value-centric kernel per value level.
+#   Value tiles PARTITION the level, so each (query, point, corner)
+#   contribution lands in exactly one tile — the transposed selection
+#   matrix (T_q, S_v) built from the reverse halo window of every query
+#   level turns the scatter-add into one TN matmul per (query level, head)
+#   with no write races. loc/aw arrive pre-sliced per (query level, value
+#   level) pair (nh*p*2 / nh*p lanes) so reverse windows stay < VMEM.
+#
+# Exactness contract matches the forward: gradients are exact while every
+# sample stays within ``halo`` pixels (of the sampled level) of its query
+# tile footprint; the golden tests pin both kernels against jax.vjp of the
+# jnp core.
+# --------------------------------------------------------------------------
+
+
+def _corner_geometry(loc, aw, base_xy, base_a, wj, hj):
+    """Shared corner math: returns (lx, ly, xi, yi, a) columns."""
+    x = loc[:, base_xy:base_xy + 1] * wj - 0.5
+    y = loc[:, base_xy + 1:base_xy + 2] * hj - 0.5
+    xf = jnp.clip(jnp.floor(x), -2.0, float(wj))
+    yf = jnp.clip(jnp.floor(y), -2.0, float(hj))
+    return (x - xf, y - yf, xf.astype(jnp.int32), yf.astype(jnp.int32),
+            aw[:, base_a:base_a + 1])
+
+
+def _encoder_level_bwd_lw_pallas(level_values, loc_i, aw_i, g_i, qi_hw,
+                                 spatial_shapes, num_heads, head_dim,
+                                 num_points, halo, interpret):
+    """d(loc), d(aw) for ONE query level. Returns ((B,Hi,Wi,nH*L*P*2) f32,
+    (B,Hi,Wi,nH*L*P) f32). Window geometry identical to the forward."""
+    hi, wi = qi_hw
+    nh, hd, p = num_heads, head_dim, num_points
+    nl = len(spatial_shapes)
+    c = nh * hd
+    b = loc_i.shape[0]
+    max_h = max(h for h, _ in spatial_shapes)
+    max_w = max(w for _, w in spatial_shapes)
+    th = min(TILE_H, hi, max(2, round(TILE_H * hi / max_h)))
+    tw = min(TILE_W, _round_up(max(1, round(TILE_W * wi / max_w)), 8))
+    if tw > wi:
+        tw = wi
+    s = th * tw
+    vdtype = level_values[0][0].dtype
+    lane = level_values[0][0].shape[-1]
+    nchunks = len(level_values[0])
+    win_hw = [(_window_extent(th, hi, hj, halo),
+               _window_extent(tw, wi, wj, halo, align=8))
+              for (hj, wj) in spatial_shapes]
+    sublane = 16 if vdtype == jnp.bfloat16 else 8
+    t_pad = [_round_up(wh * ww, max(sublane, 128)) for (wh, ww) in win_hw]
+    nti, ntj = pl.cdiv(hi, th), pl.cdiv(wi, tw)
+    la, l2 = nh * nl * p, nh * nl * p * 2
+
+    def kernel(loc_ref, aw_ref, g_ref, *refs):
+        nv = nl * nchunks
+        val_refs = refs[:nv]
+        dloc_ref, daw_ref = refs[nv], refs[nv + 1]
+        win_scratch = refs[nv + 2:nv + 2 + nv]
+        sems = refs[nv + 2 + nv]
+
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        ti = t // ntj
+        tj = t % ntj
+
+        copies, origins = [], []
+        for j, (hj, wj) in enumerate(spatial_shapes):
+            wh, ww = win_hw[j]
+            y0 = _window_origin(ti, th, hi, hj, halo, wh)
+            x0 = _window_origin(tj, tw, wi, wj, halo, ww, align=8)
+            for k in range(nchunks):
+                i = j * nchunks + k
+                dma = pltpu.make_async_copy(
+                    val_refs[i].at[bi, pl.ds(y0, wh), pl.ds(x0, ww), :],
+                    win_scratch[i], sems.at[i])
+                dma.start()
+                copies.append(dma)
+            origins.append((y0, x0))
+
+        loc = loc_ref[0].reshape(s, l2).astype(jnp.float32)
+        aw = aw_ref[0].reshape(s, la).astype(jnp.float32)
+        g = g_ref[0].reshape(s, c)
+
+        dlx_cols = [None] * la
+        dly_cols = [None] * la
+        da_cols = [None] * la
+        for j, (hj, wj) in enumerate(spatial_shapes):
+            wh, ww = win_hw[j]
+            y0, x0 = origins[j]
+            winf = []
+            for k in range(nchunks):
+                i = j * nchunks + k
+                copies[i].wait()
+                wk = win_scratch[i][:].reshape(wh * ww, lane)
+                if t_pad[j] > wh * ww:
+                    wk = jnp.pad(wk, ((0, t_pad[j] - wh * ww), (0, 0)))
+                winf.append(wk)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad[j]), 1)
+            for h in range(nh):
+                off = (h * hd) % lane
+                vwin = winf[(h * hd) // lane][:, off:off + hd]
+                gh = g[:, h * hd:(h + 1) * hd].astype(vdtype)
+                # M[s, t] = <g_h[s], V_win[t]>: the cotangent-weighted value
+                # of every window token, for every query of the tile
+                m = jax.lax.dot_general(
+                    gh, vwin, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (S, T_pad)
+                for pt in range(p):
+                    ai = (h * nl + j) * p + pt
+                    lx, ly, xi, yi, a = _corner_geometry(
+                        loc, aw, ai * 2, ai, wj, hj)
+                    da = jnp.zeros((s, 1), jnp.float32)
+                    dx = jnp.zeros((s, 1), jnp.float32)
+                    dy = jnp.zeros((s, 1), jnp.float32)
+                    for cy in (0, 1):
+                        wy = ly if cy else 1.0 - ly
+                        sy = 1.0 if cy else -1.0
+                        gy = yi + cy
+                        vy = (gy >= 0) & (gy < hj)
+                        ry = jnp.clip(gy - y0, 0, wh - 1)
+                        for cx in (0, 1):
+                            wx = lx if cx else 1.0 - lx
+                            sx = 1.0 if cx else -1.0
+                            gx = xi + cx
+                            valid = vy & (gx >= 0) & (gx < wj)
+                            rx = jnp.clip(gx - x0, 0, ww - 1)
+                            idx = ry * ww + rx
+                            # m_c[s] = M[s, idx_c(s)] for in-map corners
+                            mc = jnp.sum(
+                                jnp.where(iota == idx, m, 0.0), axis=1,
+                                keepdims=True)
+                            mc = jnp.where(valid, mc, 0.0)
+                            da = da + wy * wx * mc
+                            dx = dx + sx * wy * mc
+                            dy = dy + sy * wx * mc
+                    da_cols[ai] = da
+                    dlx_cols[ai] = a * float(wj) * dx
+                    dly_cols[ai] = a * float(hj) * dy
+
+        dloc_flat = jnp.concatenate(
+            [col for pair in zip(dlx_cols, dly_cols) for col in pair],
+            axis=-1)
+        dloc_ref[0] = dloc_flat.reshape(th, tw, l2)
+        daw_ref[0] = jnp.concatenate(da_cols, axis=-1).reshape(th, tw, la)
+
+    grid = (b, nti * ntj)
+    imap = lambda bb, t: (bb, t // ntj, t % ntj, 0)
+    flat_values = [v for halves in level_values for v in halves]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, tw, l2), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw, la), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw, c), imap, memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * (nl * nchunks),
+        out_specs=[
+            pl.BlockSpec((1, th, tw, l2), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw, la), imap, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hi, wi, l2), jnp.float32),
+            jax.ShapeDtypeStruct((b, hi, wi, la), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((wh, ww, lane), vdtype)
+                        for (wh, ww) in win_hw for _ in range(nchunks)]
+        + [pltpu.SemaphoreType.DMA((nl * nchunks,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(loc_i, aw_i, g_i, *flat_values)
+
+
+def _rev_extent(vtile: int, src: int, dst: int, halo: int,
+                align: int = 1) -> int:
+    """Reverse window extent: queries of a ``dst``-row level whose samples
+    (within ``halo``+bilinear reach, in ``src``-level pixels) can touch a
+    ``vtile``-row value slab of the ``src`` level."""
+    e = int(math.ceil((vtile + 2 * halo + 2) * dst / src)) + 2
+    if align > 1:
+        e = _round_up(e + align - 1, align)
+    return min(_round_up(dst, align), e)
+
+
+def _rev_origin(t, vtile: int, src: int, dst: int, halo: int, extent: int,
+                align: int = 1):
+    """Reverse window origin: first query row of the ``dst`` level whose
+    samples can reach value row ``t * vtile`` of the ``src`` level."""
+    first = (t.astype(jnp.float32) * vtile - halo - 0.5) * (dst / src) - 0.5
+    o = jnp.floor(first).astype(jnp.int32) - 1
+    o = jnp.clip(o, 0, _round_up(dst, align) - extent)
+    if align > 1:
+        o = (o // align) * align
+    return o
+
+
+def _encoder_level_bwd_v_pallas(g_levels, loc_by_q, aw_by_q, vj_hw,
+                                spatial_shapes, num_heads, head_dim,
+                                num_points, halo, interpret):
+    """d(value) for ONE value level j. Returns (B, Hj, Wj, C) f32.
+
+    g_levels: per query level, <=128-lane chunks of the cotangent
+    (B, Hi, Wip, lane) — zero in padded columns, so padded query positions
+    contribute nothing. loc_by_q/aw_by_q: per query level, the LEVEL-j
+    slice of loc/aw ((B, Hi, Wip, nh*p*2) / (B, Hi, Wip, nh*p)).
+    """
+    hj, wj = vj_hw
+    nh, hd, p = num_heads, head_dim, num_points
+    nl = len(spatial_shapes)
+    c = nh * hd
+    b = loc_by_q[0].shape[0]
+    lane = g_levels[0][0].shape[-1]
+    nchunks = len(g_levels[0])
+    gdtype = g_levels[0][0].dtype
+
+    max_h = max(h for h, _ in spatial_shapes)
+    max_w = max(w for _, w in spatial_shapes)
+    th = min(TILE_H, hj, max(2, round(TILE_H * hj / max_h)))
+    tw = min(TILE_W, _round_up(max(1, round(TILE_W * wj / max_w)), 8))
+    if tw > wj:
+        tw = wj
+    sv = th * tw
+    # reverse halo windows per query level
+    rwin = [( _rev_extent(th, hj, hi, halo),
+              _rev_extent(tw, wj, wi, halo, align=8))
+            for (hi, wi) in spatial_shapes]
+    sublane = 16 if gdtype == jnp.bfloat16 else 8
+    tq_pad = [_round_up(qh * qw, max(sublane, 128)) for (qh, qw) in rwin]
+    nti, ntj = pl.cdiv(hj, th), pl.cdiv(wj, tw)
+    la, l2 = nh * p, nh * p * 2
+
+    def kernel(*refs):
+        ng = nl * nchunks
+        g_refs = refs[:ng]                     # [i * nchunks + k]
+        loc_refs = refs[ng:ng + nl]
+        aw_refs = refs[ng + nl:ng + 2 * nl]
+        out_ref = refs[ng + 2 * nl]
+        g_scr = refs[ng + 2 * nl + 1:ng + 2 * nl + 1 + ng]
+        loc_scr = refs[ng + 2 * nl + 1 + ng:ng + 2 * nl + 1 + ng + nl]
+        aw_scr = refs[ng + 2 * nl + 1 + ng + nl:
+                      ng + 2 * nl + 1 + ng + 2 * nl]
+        sems = refs[-1]
+
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        ti = t // ntj
+        tj = t % ntj
+        ty0 = ti * th
+        tx0 = tj * tw
+
+        copies = []
+        for i, (hi, wi) in enumerate(spatial_shapes):
+            qh, qw = rwin[i]
+            y0 = _rev_origin(ti, th, hj, hi, halo, qh)
+            x0 = _rev_origin(tj, tw, wj, wi, halo, qw, align=8)
+            for k in range(nchunks):
+                n = i * nchunks + k
+                dma = pltpu.make_async_copy(
+                    g_refs[n].at[bi, pl.ds(y0, qh), pl.ds(x0, qw), :],
+                    g_scr[n], sems.at[n])
+                dma.start()
+                copies.append(dma)
+            dl = pltpu.make_async_copy(
+                loc_refs[i].at[bi, pl.ds(y0, qh), pl.ds(x0, qw), :],
+                loc_scr[i], sems.at[ng + i])
+            dl.start()
+            da = pltpu.make_async_copy(
+                aw_refs[i].at[bi, pl.ds(y0, qh), pl.ds(x0, qw), :],
+                aw_scr[i], sems.at[ng + nl + i])
+            da.start()
+            copies += [dl, da]
+
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (1, sv), 1)
+        acc = [jnp.zeros((sv, hd), jnp.float32) for _ in range(nh)]
+        for i, (hi, wi) in enumerate(spatial_shapes):
+            qh, qw = rwin[i]
+            for dma in copies[i * (nchunks + 2):(i + 1) * (nchunks + 2)]:
+                dma.wait()
+            tq = tq_pad[i]
+            gw = []
+            for k in range(nchunks):
+                wk = g_scr[i * nchunks + k][:].reshape(qh * qw, lane)
+                if tq > qh * qw:
+                    wk = jnp.pad(wk, ((0, tq - qh * qw), (0, 0)))
+                gw.append(wk)
+            loc = loc_scr[i][:].reshape(qh * qw, l2).astype(jnp.float32)
+            aw = aw_scr[i][:].reshape(qh * qw, la).astype(jnp.float32)
+            if tq > qh * qw:
+                loc = jnp.pad(loc, ((0, tq - qh * qw), (0, 0)))
+                aw = jnp.pad(aw, ((0, tq - qh * qw), (0, 0)))
+            for h in range(nh):
+                sel = jnp.zeros((tq, sv), jnp.float32)
+                for pt in range(p):
+                    ai = h * p + pt
+                    lx, ly, xi, yi, a = _corner_geometry(
+                        loc, aw, ai * 2, ai, wj, hj)
+                    for cy in (0, 1):
+                        wy = ly if cy else 1.0 - ly
+                        gy = yi + cy
+                        vy = (gy >= ty0) & (gy < jnp.minimum(ty0 + th, hj))
+                        for cx in (0, 1):
+                            wx = lx if cx else 1.0 - lx
+                            gx = xi + cx
+                            valid = vy & (gx >= tx0) \
+                                & (gx < jnp.minimum(tx0 + tw, wj))
+                            rv = (gy - ty0) * tw + (gx - tx0)   # (T_q, 1)
+                            wgt = jnp.where(valid, wy * wx * a, 0.0)
+                            sel = sel + jnp.where(iota_v == rv, wgt, 0.0)
+                off = (h * hd) % lane
+                gh = gw[(h * hd) // lane][:, off:off + hd]
+                # transposed scatter -> one TN matmul, no write races
+                acc[h] = acc[h] + jax.lax.dot_general(
+                    sel.astype(gdtype), gh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (S_v, hd)
+
+        out_ref[0] = jnp.concatenate(acc, axis=-1).reshape(th, tw, c)
+
+    grid = (b, nti * ntj)
+    imap = lambda bb, t: (bb, t // ntj, t % ntj, 0)
+    flat_g = [x for halves in g_levels for x in halves]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (nl * nchunks + 2 * nl),
+        out_specs=pl.BlockSpec((1, th, tw, c), imap,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hj, wj, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((qh, qw, lane), gdtype)
+                        for (qh, qw) in rwin for _ in range(nchunks)]
+        + [pltpu.VMEM((qh, qw, l2), jnp.float32) for (qh, qw) in rwin]
+        + [pltpu.VMEM((qh, qw, la), jnp.float32) for (qh, qw) in rwin]
+        + [pltpu.SemaphoreType.DMA((nl * nchunks + 2 * nl,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*flat_g, *loc_by_q, *aw_by_q)
+
+
+def ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes, locations,
+                                      weights, g, halo: int = DEFAULT_HALO,
+                                      interpret: bool = False):
+    """Blocked backward: returns (d_value, d_locations, d_weights) with the
+    same shapes/dtypes as the jnp core's VJP. ``g`` is (B, sum HW, nH*hd)."""
+    b, sumhw, nh, hd = value.shape
+    nl = len(spatial_shapes)
+    p = weights.shape[-1]
+    c = nh * hd
+    lane = min(c, 128)
+    splits = [h * w for h, w in spatial_shapes]
+    offs = np.cumsum([0] + splits)
+    vdtype = value.dtype
+
+    # value levels, W-padded + chunked (as in the forward)
+    levels = []
+    for j, (h, w) in enumerate(spatial_shapes):
+        full = value[:, offs[j]:offs[j + 1]].reshape(b, h, w, c)
+        wp = _round_up(w, 8)
+        if wp > w:
+            full = jnp.pad(full, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        levels.append([full[..., k * lane:(k + 1) * lane]
+                       for k in range(c // lane)])
+    # cotangent levels, W-padded (zeros) + chunked; bf16 matmul operand
+    # when the value is bf16 (same precision story as the forward)
+    g_levels = []
+    for i, (h, w) in enumerate(spatial_shapes):
+        gi = g[:, offs[i]:offs[i + 1]].reshape(b, h, w, c).astype(vdtype)
+        wp = _round_up(w, 8)
+        if wp > w:
+            gi = jnp.pad(gi, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        g_levels.append([gi[..., k * lane:(k + 1) * lane]
+                         for k in range(c // lane)])
+
+    d_loc_parts, d_aw_parts = [], []
+    for i, (h, w) in enumerate(spatial_shapes):
+        loc_i = locations[:, offs[i]:offs[i + 1]].astype(jnp.float32) \
+            .reshape(b, h, w, nh * nl * p * 2)
+        aw_i = weights[:, offs[i]:offs[i + 1]].astype(jnp.float32) \
+            .reshape(b, h, w, nh * nl * p)
+        g_i = g[:, offs[i]:offs[i + 1]].astype(jnp.float32) \
+            .reshape(b, h, w, c)
+        dloc, daw = _encoder_level_bwd_lw_pallas(
+            levels, loc_i, aw_i, g_i, (h, w), spatial_shapes, nh, hd, p,
+            halo, interpret)
+        d_loc_parts.append(dloc.reshape(b, splits[i], nh, nl, p, 2))
+        d_aw_parts.append(daw.reshape(b, splits[i], nh, nl, p))
+    d_locations = jnp.concatenate(d_loc_parts, axis=1)
+    d_weights = jnp.concatenate(d_aw_parts, axis=1)
+
+    d_val_parts = []
+    for j, (hj, wj) in enumerate(spatial_shapes):
+        loc_by_q, aw_by_q = [], []
+        for i, (h, w) in enumerate(spatial_shapes):
+            wp = _round_up(w, 8)
+            # level-j lane slice: (..., nh, nl, p, 2) -> (..., nh, p, 2)
+            loc_ij = locations[:, offs[i]:offs[i + 1]] \
+                .reshape(b, h, w, nh, nl, p, 2)[:, :, :, :, j] \
+                .reshape(b, h, w, nh * p * 2).astype(jnp.float32)
+            aw_ij = weights[:, offs[i]:offs[i + 1]] \
+                .reshape(b, h, w, nh, nl, p)[:, :, :, :, j] \
+                .reshape(b, h, w, nh * p).astype(jnp.float32)
+            if wp > w:
+                pad = ((0, 0), (0, 0), (0, wp - w), (0, 0))
+                loc_ij = jnp.pad(loc_ij, pad)
+                aw_ij = jnp.pad(aw_ij, pad)
+            loc_by_q.append(loc_ij)
+            aw_by_q.append(aw_ij)
+        dv = _encoder_level_bwd_v_pallas(
+            g_levels, loc_by_q, aw_by_q, (hj, wj), spatial_shapes,
+            nh, hd, p, halo, interpret)
+        d_val_parts.append(dv.reshape(b, splits[j], nh, hd))
+    d_value = jnp.concatenate(d_val_parts, axis=1).astype(value.dtype)
+
+    return d_value, d_locations.astype(locations.dtype), \
+        d_weights.astype(weights.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _encoder_pallas_diff(value, spatial_shapes, locations, weights):
-    """Pallas forward with a jnp-core backward.
-
-    ``pallas_call`` has no autodiff rule; the VJP differentiates the
-    mathematically-identical jnp core instead (XLA scatter-gather — slower
-    than the forward kernel but exact; a dedicated backward kernel can
-    replace it without touching callers)."""
+    """Pallas forward with a blocked Pallas backward (both no-gather)."""
     return ms_deform_attn_encoder_pallas(value, spatial_shapes, locations,
                                          weights)
 
@@ -335,14 +762,9 @@ def _encoder_pallas_fwd(value, spatial_shapes, locations, weights):
 
 
 def _encoder_pallas_bwd(spatial_shapes, res, g):
-    from vision_instance_seg_tpu.models.deform_attn import (
-        ms_deform_attn_core_jnp)
-
     value, locations, weights = res
-    _, vjp = jax.vjp(
-        lambda v, l, w: ms_deform_attn_core_jnp(v, spatial_shapes, l, w),
-        value, locations, weights)
-    return vjp(g)
+    return ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes,
+                                             locations, weights, g)
 
 
 _encoder_pallas_diff.defvjp(_encoder_pallas_fwd, _encoder_pallas_bwd)

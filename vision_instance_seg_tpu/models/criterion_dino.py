@@ -354,6 +354,8 @@ def maskdino_criterion(key, outputs: Dict, gt_classes, gt_masks,
                              gt_grid=gt_pts if grid_mode else None)
         total = total + _weighted(ld, cc)
         logs["loss_enc"] = _weighted(ld, cc)
+        logs.update({f"enc_{k[5:]}": v for k, v in ld.items()
+                     if k.startswith("loss_")})
 
     logs["loss_total"] = total
     return total, logs

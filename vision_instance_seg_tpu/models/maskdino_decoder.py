@@ -23,6 +23,7 @@ train_original.py:256-260). TPU-native design:
 
 from __future__ import annotations
 
+import math
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -158,9 +159,21 @@ class MaskDINODecoder(nn.Module):
     def _num_cls_out(self) -> int:
         return self.num_classes + (1 if self.semantic_ce_loss else 0)
 
+    @property
+    def _cls_bias_init(self):
+        # focal/sigmoid classification starts at prior prob 0.01 (DETR
+        # convention, bias = -log((1-p)/p) ~ -4.59): without it every query
+        # opens at p=0.5 and the focal loss spends most of training
+        # suppressing 98 background queries instead of ranking the matched
+        # ones. Softmax CE keeps the default zero init.
+        if self.semantic_ce_loss:
+            return nn.initializers.zeros
+        return nn.initializers.constant(-math.log((1 - 0.01) / 0.01))
+
     def _heads(self):
         return (LayerNorm(dtype=self.dtype, name="decoder_norm"),
                 nn.Dense(self._num_cls_out, dtype=jnp.float32,
+                         bias_init=self._cls_bias_init,
                          name="class_embed"),
                 MLPHead(self.hidden_dim, self.mask_dim, 3, dtype=self.dtype,
                         name="mask_embed"),
@@ -212,6 +225,7 @@ class MaskDINODecoder(nn.Module):
         enc = nn.Dense(c, dtype=self.dtype, name="enc_output")(value)
         enc = LayerNorm(dtype=self.dtype, name="enc_output_norm")(enc)
         enc_cls = nn.Dense(self._num_cls_out, dtype=jnp.float32,
+                           bias_init=self._cls_bias_init,
                            name="enc_class_embed")(enc.astype(jnp.float32))
         enc_delta = MLPHead(c, 4, 3, dtype=jnp.float32,
                             name="enc_box_embed")(enc.astype(jnp.float32))
@@ -265,7 +279,8 @@ class MaskDINODecoder(nn.Module):
                 qb[None], (b, self.num_queries, 4)))
 
         # ---------------- denoising queries (training only)
-        dn_on = gt_classes is not None and dn_rng is not None
+        dn_on = (gt_classes is not None and dn_rng is not None
+                 and self.dn_groups > 0)
         attn_bias = None
         if dn_on:
             m = gt_classes.shape[1]
