@@ -84,6 +84,8 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--no-jnp", action="store_true",
                     help="skip the (slow) jnp-core timing")
+    ap.add_argument("--bwd", action="store_true",
+                    help="also time the blocked Pallas backward")
     args = ap.parse_args()
 
     # level order matches pixel_decoder (lowest resolution first)
@@ -110,6 +112,39 @@ def main():
                   inputs, reps=args.reps)
     print(f"pallas kernel: {t * 1e3:.2f} ms/call "
           f"({t * 1e3 / args.batch:.2f} ms/img)", flush=True)
+
+    if args.bwd:
+        from vision_instance_seg_tpu.kernels.msdeform_attn import (
+            ms_deform_attn_encoder_bwd_pallas)
+
+        v, l, a = make_inputs(2, small_shapes, dtype, seed=3)
+        g = jnp.asarray(np.random.default_rng(4).standard_normal(
+            (2, v.shape[1], NH * HD)).astype(np.float32))
+        got = ms_deform_attn_encoder_bwd_pallas(v, small_shapes, l, a, g)
+        import jax as _jax
+        _, vjp = _jax.vjp(
+            lambda vv, ll, aa: ms_deform_attn_core_jnp(vv, small_shapes,
+                                                       ll, aa), v, l, a)
+        want = vjp(g)
+        errs = [float(jnp.max(jnp.abs(x.astype(jnp.float32)
+                                      - y.astype(jnp.float32))))
+                for x, y in zip(got, want)]
+        print(f"bwd parity (tiny): dV={errs[0]:.2e} dLoc={errs[1]:.2e} "
+              f"dAw={errs[2]:.2e}", flush=True)
+
+        gq = jnp.asarray(np.random.default_rng(5).standard_normal(
+            (args.batch, inputs[0].shape[1], NH * HD)).astype(np.float32))
+
+        def bwd_fn(v_, l_, a_):
+            outs = ms_deform_attn_encoder_bwd_pallas(v_, shapes, l_, a_, gq)
+            # sum ALL outputs so XLA cannot dead-code any of the kernels
+            return (outs[0].astype(jnp.float32).sum() + outs[1].sum()
+                    + outs[2].sum())
+
+        tb = scan_time(lambda v_, l_, a_: bwd_fn(v_, l_, a_), inputs,
+                       reps=args.reps)
+        print(f"pallas backward: {tb * 1e3:.2f} ms/call "
+              f"({tb * 1e3 / args.batch:.2f} ms/img)", flush=True)
 
     if not args.no_jnp:
         t2 = scan_time(lambda v, l, a: ms_deform_attn_core_jnp(v, shapes, l, a),

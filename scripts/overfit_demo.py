@@ -38,6 +38,13 @@ def main():
                     help="disable contrastive denoising queries")
     ap.add_argument("--no-two-stage", action="store_true",
                     help="learned queries instead of encoder proposals")
+    ap.add_argument("--box-init", default="no",
+                    choices=["no", "bitmask"],
+                    help="MaskDINO mask-enhanced box initialization")
+    ap.add_argument("--semantic-ce", action="store_true",
+                    help="softmax-CE classification (no-object channel)")
+    ap.add_argument("--queries", type=int, default=100)
+    ap.add_argument("--dn-num", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -62,13 +69,16 @@ def main():
     if args.maskdino:
         cfg.MODEL.MASK_DINO.ENABLED = True
         cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
-        cfg.MODEL.MASK_DINO.DN_NUM = 16
+        cfg.MODEL.MASK_DINO.DN_NUM = args.dn_num
         # MaskDINO base yaml class weight (4.0 vs Mask2Former's 2.0)
         cfg.MODEL.MASK_FORMER.CLASS_WEIGHT = 4.0
         if args.no_dn:
             cfg.MODEL.MASK_DINO.DN = "no"
         if args.no_two_stage:
             cfg.MODEL.MASK_DINO.TWO_STAGE = False
+        cfg.MODEL.MASK_DINO.INITIALIZE_BOX_TYPE = args.box_init
+        cfg.MODEL.MASK_DINO.SEMANTIC_CE_LOSS = args.semantic_ce
+        cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES = args.queries
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "window"
     cfg.MODEL.MASK_FORMER.MATCHER = args.matcher
     cfg.MODEL.MASK_FORMER.POINT_MODE = args.points
