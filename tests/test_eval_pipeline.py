@@ -215,3 +215,41 @@ def test_eval_loader_process_striding(mini_coco, eval_cfg):
     assert sorted(parts[0] + parts[1]) == sorted(
         d["image_id"] for d in dicts)
     assert not set(parts[0]) & set(parts[1])
+
+
+def test_correct_normalized_boxes_reach_perfect_bbox_ap(mini_coco, eval_cfg):
+    """The box convention round-trips: boxes the model would ideally
+    predict (xyxy normalized to the padded canvas, the training-side
+    normalization) must come back out of postprocess as the original GT
+    boxes -> bbox AP50 = 100."""
+    dicts = _register(mini_coco, "mini_eval_goodbox")
+    cfg = eval_cfg
+    cfg.TEST.BATCH_SIZE = 2
+    max_inst = max(len(d["annotations"]) for d in dicts)
+    base = _gt_oracle(dicts, cfg, max_inst)
+    ch, cw = cfg.INPUT.TEST_PAD_H, cfg.INPUT.TEST_PAD_W
+    state = {"i": 0}
+
+    def infer(params, images):
+        out = base(params, images)
+        bs = images.shape[0]
+        chunk = dicts[state["i"]:state["i"] + bs]
+        state["i"] += bs
+        chunk = chunk + [chunk[-1]] * (bs - len(chunk))
+        boxes = np.zeros((bs, max_inst, 4), np.float32)
+        for b, d in enumerate(chunk):
+            oh, ow = d["height"], d["width"]
+            vh, vw = resize_shortest_edge_size(
+                oh, ow, cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST)
+            for k, ann in enumerate(d["annotations"]):
+                x, y, w, h = ann["bbox"]
+                boxes[b, k] = [x * (vw / ow) / cw, y * (vh / oh) / ch,
+                               (x + w) * (vw / ow) / cw,
+                               (y + h) * (vh / oh) / ch]
+        out["boxes"] = boxes
+        return out
+
+    ev = COCOEvaluator("mini_eval_goodbox", cfg)
+    res = ev.evaluate(infer, None)
+    assert res["bbox"]["AP50"] == pytest.approx(100.0, abs=1e-4)
+    assert res["segm"]["AP50"] == pytest.approx(100.0, abs=1e-4)
