@@ -93,11 +93,12 @@ def setup_cfg(train_name: Optional[str] = None,
     # canvases (800px) exceed HBM without it at batch >= 4
     cfg.MODEL.SWIN.USE_CHECKPOINT = True
     cfg.TPU.REMAT_ENCODER = True
-    # TPU-fast criterion (profiled: exact Hungarian + random-point gathers
-    # cost ~2.7s of a 2.9s train step on v5e). Override back to parity with
-    # `MODEL.MASK_FORMER.MATCHER hungarian MODEL.MASK_FORMER.POINT_MODE
-    # random` in opts.
-    cfg.MODEL.MASK_FORMER.MATCHER = "greedy"
+    # TPU-fast criterion. The vectorized Jonker-Volgenant matcher makes
+    # exact assignment nearly free (275 vs 260 ms/step greedy, bs4/800px)
+    # and is worth +23 AP50 for MaskDINO (docs/PERF.md A/B); grid-point
+    # sampling replaces the element-serial random-point gathers (~1.2 s).
+    # Parity criterion: `MODEL.MASK_FORMER.POINT_MODE random` in opts.
+    cfg.MODEL.MASK_FORMER.MATCHER = "hungarian"
     cfg.MODEL.MASK_FORMER.POINT_MODE = "grid"
     cfg.OUTPUT_DIR = output_dir
     if opts:
