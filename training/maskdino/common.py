@@ -22,6 +22,25 @@ from vision_instance_seg_tpu.data.coco import load_coco_json
 DEFAULT_DATA_ROOT = os.environ.get("VIST_DATA_ROOT", "./data")
 
 
+def bootstrap_distributed() -> int:
+    """Start the JAX distributed runtime for multi-host SPMD runs.
+
+    Every training/eval CLI calls this before touching devices — the
+    reference ships its dist flags into detectron2's ``launch`` machinery
+    (train_experiments.py:241-248); here the equivalent bootstrap is
+    `jax.distributed.initialize` via ``parallel.comm.initialize`` (a no-op
+    unless a coordinator address is configured in the environment, so
+    single-host runs are unaffected). Returns the process count.
+    """
+    from vision_instance_seg_tpu.parallel import comm
+
+    if comm.initialize():
+        print(f"[dist] initialized: process {comm.process_index()}/"
+              f"{comm.process_count()}, {len(__import__('jax').devices())} "
+              "global devices")
+    return comm.process_count()
+
+
 def filter_original_only(dataset_dicts: List[dict],
                          n_original: int = 40) -> List[dict]:
     """Keep only the original images 000000.jpg..0000NN.jpg (reference

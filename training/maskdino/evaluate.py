@@ -14,7 +14,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from common import DEFAULT_DATA_ROOT, register_dataset, setup_cfg  # noqa: E402
+from common import (DEFAULT_DATA_ROOT, bootstrap_distributed,  # noqa: E402
+                    register_dataset, setup_cfg)
 
 
 def register_val_dataset(data_root: str, category: str = "Cable") -> str:
@@ -63,6 +64,7 @@ def evaluate_model(model_path: str, output_dir: str, name: str,
 
 
 def main():
+    bootstrap_distributed()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-root", default=DEFAULT_DATA_ROOT)
     ap.add_argument("--category", default="Cable")

@@ -20,7 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "scripts"
                        / "data_utils"))
 
-from common import setup_cfg  # noqa: E402
+from common import bootstrap_distributed, setup_cfg  # noqa: E402
 from register_experiments import (  # noqa: E402
     EXPERIMENT_NAMES, get_dataset_names, register_all_experiments)
 
@@ -110,6 +110,7 @@ def main():
     ap.add_argument("opts", nargs=argparse.REMAINDER)
     args = ap.parse_args()
 
+    bootstrap_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
     register_all_experiments(args.base_dir)
 

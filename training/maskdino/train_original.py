@@ -16,11 +16,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from common import (DEFAULT_DATA_ROOT, filter_original_only,  # noqa: E402
-                    register_dataset, setup_cfg)
+from common import (DEFAULT_DATA_ROOT, bootstrap_distributed,  # noqa: E402
+                    filter_original_only, register_dataset, setup_cfg)
 
 
 def main():
+    bootstrap_distributed()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-root", default=DEFAULT_DATA_ROOT)
     ap.add_argument("--category", default="Cable")

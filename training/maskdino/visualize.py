@@ -17,7 +17,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from common import DEFAULT_DATA_ROOT, register_dataset  # noqa: E402
+from common import (DEFAULT_DATA_ROOT, bootstrap_distributed,  # noqa: E402
+                    register_dataset)
 
 
 def _color(i):
@@ -47,6 +48,7 @@ def draw_instances(img: np.ndarray, masks, scores, alpha=0.45,
 
 
 def main():
+    bootstrap_distributed()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", required=True, help="checkpoint dir")
     ap.add_argument("--threshold", type=float, default=0.5)

@@ -156,6 +156,9 @@ def main():
                     help="free-form cfg overrides, e.g. SOLVER.MAX_ITER 100")
     args = ap.parse_args()
 
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "maskdino"))
+    from common import bootstrap_distributed
+    bootstrap_distributed()
     register_all_experiments(args.base_dir)
     if args.exp == "all":
         run_all_experiments(args.model, args)

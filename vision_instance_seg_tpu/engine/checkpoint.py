@@ -54,6 +54,17 @@ def load_checkpoint(path: str, target_state: Any) -> Any:
 
 
 def load_pretrained_backbone(weights_path: str, params: Any) -> Any:
-    """Initialize backbone params from a torch/detectron2 ImageNet ckpt."""
-    from vision_instance_seg_tpu.utils.weights import import_backbone_weights
+    """Initialize params from a torch/detectron2 checkpoint.
+
+    Auto-detects scope: a full trained MaskDINO/Mask2Former checkpoint
+    (``sem_seg_head.*`` keys — what the reference loads at
+    evaluate.py:113-115) imports the whole model via
+    ``import_full_model_weights``; an ImageNet backbone checkpoint maps
+    onto the backbone subtree only."""
+    from vision_instance_seg_tpu.utils.weights import (
+        import_backbone_weights, import_full_model_weights, load_torch_state)
+    state = load_torch_state(weights_path)
+    if any(k.startswith("sem_seg_head.") for k in state):
+        new_params, _ = import_full_model_weights(weights_path, params)
+        return new_params
     return import_backbone_weights(weights_path, params)

@@ -394,22 +394,26 @@ def masks_to_boxes_cxcywh(masks: jnp.ndarray
 
 
 def _box_pos_embed(boxes: jnp.ndarray, dim: int) -> jnp.ndarray:
-    """Sine embedding of (cx, cy, w, h) -> (..., 2*dim) -> project to dim.
+    """Sine embedding of (cx, cy, w, h) -> (..., 2*dim).
 
-    Matches DINO's gen_sineembed_for_position: dim//2 per coordinate over
-    (cx, cy) and (w, h) concatenated.
+    Matches DINO's ``gen_sineembed_for_position`` exactly (dim//2 sin/cos-
+    INTERLEAVED channels per coordinate, concatenated in (y, x, w, h)
+    order) so that imported ``ref_point_head`` weights see the layout they
+    were trained on (upstream MLP input is ``query_dim//2 * d_model`` =
+    2*dim).
     """
     half = dim // 2
     scale = 2 * jnp.pi
-    dim_t = jnp.arange(half // 2, dtype=jnp.float32)
-    dim_t = 10000.0 ** (2 * (dim_t // 2) / (half // 2))
+    dim_t = jnp.arange(half, dtype=jnp.float32)
+    dim_t = 10000.0 ** (2 * (dim_t // 2) / half)
 
     def embed(v):
-        p = v[..., None] * scale / dim_t
-        return jnp.concatenate([jnp.sin(p[..., 0::2]),
-                                jnp.cos(p[..., 1::2])], -1)
+        p = v[..., None] * scale / dim_t                   # (..., half)
+        inter = jnp.stack([jnp.sin(p[..., 0::2]),
+                           jnp.cos(p[..., 1::2])], axis=-1)
+        return inter.reshape(p.shape[:-1] + (half,))
 
-    parts = [embed(boxes[..., i]) for i in range(4)]
+    parts = [embed(boxes[..., i]) for i in (1, 0, 2, 3)]   # y, x, w, h
     return jnp.concatenate(parts, -1)
 
 
