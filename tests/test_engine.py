@@ -100,6 +100,7 @@ class TestCheckpoint:
         assert latest_checkpoint(d).endswith("ckpt_final")
 
 
+@pytest.mark.slow
 class TestMesh:
     def test_data_axis_respects_batch(self):
         from vision_instance_seg_tpu.parallel.mesh import make_mesh

@@ -253,3 +253,73 @@ def test_correct_normalized_boxes_reach_perfect_bbox_ap(mini_coco, eval_cfg):
     res = ev.evaluate(infer, None)
     assert res["bbox"]["AP50"] == pytest.approx(100.0, abs=1e-4)
     assert res["segm"]["AP50"] == pytest.approx(100.0, abs=1e-4)
+
+
+def test_fast_postprocess_matches_parity_chain():
+    """Single-warp box-restricted fast path vs the detectron2 two-stage
+    resize chain: same detections, near-identical masks (sub-pixel
+    boundary differences only), and provably-empty instances skipped."""
+    from vision_instance_seg_tpu.engine.evaluator import postprocess_instances
+    from vision_instance_seg_tpu.data import rle as mask_util
+    import jax.numpy as jnp
+    from vision_instance_seg_tpu.models.meta_arch import _mask_support_boxes
+
+    rng = np.random.default_rng(0)
+    hm = wm = 50                       # 1/4 of a 200px canvas
+    k = 5
+    probs = np.zeros((k, hm, wm), np.float32)
+    # smooth blobs of varying size/position; instance 4 left empty
+    yy, xx = np.mgrid[0:hm, 0:wm]
+    for i, (cy, cx, r) in enumerate([(12, 15, 6), (30, 35, 10),
+                                     (25, 10, 4), (40, 40, 3)]):
+        d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+        probs[i] = 1.0 / (1.0 + np.exp((np.sqrt(d2) - r) * 1.5))
+    scores = np.linspace(0.9, 0.5, k).astype(np.float32)
+    labels = np.zeros(k, np.int64)
+    boxes_dev = np.asarray(_mask_support_boxes(jnp.asarray(probs)))
+
+    common = dict(valid_h=180, valid_w=200, canvas_h=200, canvas_w=200,
+                  orig_h=230, orig_w=260, image_id=1, category_ids=[1])
+    slow = postprocess_instances(probs, scores, labels, fast=False, **common)
+    fastr = postprocess_instances(probs, scores, labels, fast=True,
+                                  mask_boxes=boxes_dev, **common)
+    assert len(slow) == 4              # empty instance skipped in both
+    assert len(fastr) == 4
+    for s, f in zip(slow, fastr):
+        ms = mask_util.decode(dict(s["segmentation"],
+                                   counts=s["segmentation"]["counts"]))
+        mf = mask_util.decode(dict(f["segmentation"],
+                                   counts=f["segmentation"]["counts"]))
+        inter = np.logical_and(ms, mf).sum()
+        union = np.logical_or(ms, mf).sum()
+        assert union > 0
+        assert inter / union > 0.97, (s["score"], inter / union)
+
+
+def test_support_box_contains_final_mask():
+    """Any pixel > 0.5 after the parity chain must lie inside the
+    device support box footprint (the skip-outside-box guarantee)."""
+    from vision_instance_seg_tpu.engine.evaluator import (
+        _warp_box_to_frame, postprocess_instances)
+    from vision_instance_seg_tpu.data import rle as mask_util
+    import jax.numpy as jnp
+    from vision_instance_seg_tpu.models.meta_arch import _mask_support_boxes
+
+    rng = np.random.default_rng(3)
+    hm = wm = 25
+    probs = rng.uniform(0, 0.8, (1, hm, wm)).astype(np.float32)
+    scores = np.ones(1, np.float32)
+    labels = np.zeros(1, np.int64)
+    box = np.asarray(_mask_support_boxes(jnp.asarray(probs)))
+    common = dict(valid_h=100, valid_w=100, canvas_h=100, canvas_w=100,
+                  orig_h=90, orig_w=110, image_id=1, category_ids=[1])
+    slow = postprocess_instances(probs, scores, labels, fast=False, **common)
+    fastr = postprocess_instances(probs, scores, labels, fast=True,
+                                  mask_boxes=box, **common)
+    if slow:
+        assert fastr
+        ms = mask_util.decode(slow[0]["segmentation"])
+        mf = mask_util.decode(fastr[0]["segmentation"])
+        # every parity-positive pixel is also fast-positive-or-boundary
+        only_slow = np.logical_and(ms, np.logical_not(mf)).sum()
+        assert only_slow / max(ms.sum(), 1) < 0.03

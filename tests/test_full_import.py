@@ -338,6 +338,7 @@ def test_ffn_and_norm_match_torch(dino_import):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_imported_model_forward_runs(dino_import):
     """The imported full tree must drive a finite forward pass."""
     _, cfg, model, _, new_vars, _ = dino_import
@@ -349,6 +350,7 @@ def test_imported_model_forward_runs(dino_import):
     assert np.isfinite(np.asarray(out["pred_masks"]).sum())
 
 
+@pytest.mark.slow
 def test_mask2former_full_coverage(tmp_path):
     rng = np.random.default_rng(11)
     sd = {}

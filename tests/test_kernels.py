@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 class TestFusedWindowAttention:
     def _run(self, b, nw, nh, n, hd, shift, seed=0):
         from vision_instance_seg_tpu.kernels.window_attention import (

@@ -24,6 +24,7 @@ def _init(cfg, bs=1):
     return model, params, normalize_image(x, cfg)
 
 
+@pytest.mark.slow
 class TestFourScale:
     def test_pixel_decoder_adds_downsampled_level(self):
         """TOTAL_NUM_FEATURE_LEVELS=4 -> extra /64 level, lowest-res first
@@ -81,6 +82,7 @@ class TestFourScale:
         assert np.isfinite(float(logs["loss_total"]))
 
 
+@pytest.mark.slow
 class TestLearnTgt:
     def test_learned_queries_param_exists_and_forward(self):
         cfg = tiny_dino_cfg()
@@ -91,6 +93,7 @@ class TestLearnTgt:
         assert np.isfinite(np.asarray(out["pred_logits"])).all()
 
 
+@pytest.mark.slow
 class TestInitializeBoxType:
     def test_masks_to_boxes(self):
         from vision_instance_seg_tpu.models.maskdino_decoder import (
@@ -116,6 +119,7 @@ class TestInitializeBoxType:
         assert np.isfinite(np.asarray(out["pred_logits"])).all()
 
 
+@pytest.mark.slow
 class TestSemanticCELoss:
     def test_forward_train_and_inference(self):
         from vision_instance_seg_tpu.engine.solver import make_optimizer

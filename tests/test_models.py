@@ -264,6 +264,7 @@ def tiny_dino_cfg():
     return cfg
 
 
+@pytest.mark.slow
 class TestGreedyMatcherAndGridSampling:
     def test_greedy_valid_and_optimal_on_dominant_costs(self):
         from vision_instance_seg_tpu.models.matcher import greedy_assign
@@ -343,6 +344,7 @@ class TestGreedyMatcherAndGridSampling:
         assert last < first
 
 
+@pytest.mark.slow
 class TestRemat:
     def test_train_step_with_remat_matches_no_remat_loss(self):
         """SWIN.USE_CHECKPOINT + TPU.REMAT_ENCODER change memory, not math."""
@@ -406,6 +408,7 @@ def tiny_dino_model():
     return cfg, model, params
 
 
+@pytest.mark.slow
 class TestMaskDINO:
     def test_forward_shapes(self, tiny_dino_model):
         cfg, model, params = tiny_dino_model
@@ -482,6 +485,7 @@ class TestMaskDINO:
         assert out["mask_probs"].shape == (1, 8, 16, 16)
 
 
+@pytest.mark.slow
 class TestEndToEnd:
     def test_forward_shapes(self, tiny_model):
         cfg, model, params = tiny_model

@@ -16,6 +16,7 @@ import pytest
 from tests.test_models import tiny_cfg
 
 
+@pytest.mark.slow
 def test_eval_period_best_ckpt_and_early_stop(mini_coco, tmp_path):
     from vision_instance_seg_tpu.data.catalog import (
         DatasetCatalog, MetadataCatalog)

@@ -206,6 +206,7 @@ def synth_swin_t(rng):
     return sd
 
 
+@pytest.mark.slow
 class TestSwinImport:
     def test_full_import(self, rng, tmp_path):
         from vision_instance_seg_tpu.models.swin import SwinTransformer

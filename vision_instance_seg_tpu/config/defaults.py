@@ -207,6 +207,11 @@ def get_cfg() -> CN:
     _C.TEST.DETECTIONS_PER_IMAGE = 100
     _C.TEST.SCORE_THRESH = 0.0
     _C.TEST.BATCH_SIZE = 1        # eval-loop batch (padded static shapes)
+    # Single-warp box-restricted mask postprocess (device tight boxes +
+    # one warpAffine into the original frame) instead of the detectron2
+    # two-stage resize chain. ~equal AP (sub-pixel boundary differences
+    # only, tested vs the parity chain); False restores the exact chain.
+    _C.TEST.FAST_POSTPROCESS = True
 
     # ------------------------------------------------------------------- TPU
     _C.TPU = CN()

@@ -32,9 +32,14 @@ arithmetic and align_corners=False convention, fp32 accumulation, out-of-
 feature-map corners contribute exactly zero) whenever every sampling
 offset stays within ``halo`` pixels (of the sampled level) of the query
 tile footprint. That holds at the reference initialization (compass
-offsets <= num_points px) and for practically trained deformable
-checkpoints; samples farther than the halo are clamped to the window
-edge. The jnp core (models/deform_attn.py) remains the arbitrary-offset
+offsets <= num_points px); to make it hold for ARBITRARY (trained or
+imported) weights, ``fused_ms_deform_attn.offset_clamp`` instructs
+``MSDeformAttn`` to clamp offsets to +-halo px before sampling, so the
+contract is enforced rather than assumed — kernel and jnp core then agree
+on the actual clamped locations (tests/test_msdeform_kernel.py pins the
+equivalence and quantifies the unclamped beyond-halo deviation; the
+checkpoint importer warns when imported offset biases exceed the halo).
+The jnp core (models/deform_attn.py) remains the arbitrary-offset
 reference path and the CPU fallback.
 """
 
@@ -528,21 +533,136 @@ def _rev_origin(t, vtile: int, src: int, dst: int, halo: int, extent: int,
     return o
 
 
-def _encoder_level_bwd_v_pallas(g_levels, loc_by_q, aw_by_q, vj_hw,
+# A value level whose full (padded) dvalue accumulator fits in this many
+# bytes of VMEM uses the DENSE reduction kernel below instead of the
+# windowed value-centric kernel: for coarse levels the windowed geometry
+# inverts (2x8 value tiles vs ~66x96 reverse query windows, because the
+# +-halo+bilinear reach in value pixels spans many query pixels), which
+# bloats the unrolled Mosaic IR ~30x (compile went >50 min; bisected r3)
+# and re-DMAs giant cotangent windows per tiny tile at runtime.
+DENSE_BWD_V_LIMIT_BYTES = 4 * 1024 * 1024
+
+
+def _encoder_bwd_v_dense_pallas(g_i, loc_ij, aw_ij, qi_hw, vj_hw,
+                                num_heads, head_dim, num_points,
+                                tile_hw, interpret):
+    """dvalue of ONE (query level i -> value level j) pair, dense layout.
+
+    Query tiles stream through the grid (same tile geometry as the
+    forward); the FULL value-level accumulator lives in VMEM as a
+    grid-constant output block and every step adds its tile's transposed
+    selection-matrix matmul: dV_j += sel_tile^T @ g_tile. Grid steps on a
+    TPU core run sequentially, so += accumulation over the flattened tile
+    axis is race-free. No reverse windows, no per-tile DMA of cotangent
+    slabs — g/loc/aw arrive as ordinary VMEM blocks.
+
+    g_i (B, Hi, Wi, C) cotangent of query level i (compute dtype);
+    loc_ij (B, Hi, Wi, nh*p*2) f32 level-j sampling locations;
+    aw_ij (B, Hi, Wi, nh*p) f32 level-j attention weights.
+    Returns (B, Hj, Wjp, C) f32 with Wjp = round_up(Wj, 8).
+    """
+    hi, wi = qi_hw
+    hj, wj = vj_hw
+    nh, hd, p = num_heads, head_dim, num_points
+    c = nh * hd
+    b = g_i.shape[0]
+    th, tw = tile_hw
+    s = th * tw
+    wjp = _round_up(wj, 8)
+    t_out = hj * wjp
+    la, l2 = nh * p, nh * p * 2
+    nti, ntj = pl.cdiv(hi, th), pl.cdiv(wi, tw)
+    gdtype = g_i.dtype
+
+    def kernel(loc_ref, aw_ref, g_ref, out_ref):
+        t = pl.program_id(1)
+        ti = t // ntj
+        tj = t % ntj
+
+        @pl.when(t == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        loc = loc_ref[0].reshape(s, l2)
+        aw = aw_ref[0].reshape(s, la)
+        g = g_ref[0].reshape(s, c)
+        # edge tiles run past the level: BlockSpec pads reads with garbage
+        # (NaN in interpret mode), and unlike the forward (whose garbage
+        # rows are cropped on write) a reduction kernel would ACCUMULATE
+        # them — mask the selection weights AND the cotangent by tile-row
+        # validity (a zero sel row does not save a NaN g row: 0*NaN=NaN
+        # inside the matmul contraction)
+        # (s, 1) iota + div/mod rather than reshaping a (th, tw) mask:
+        # Mosaic cannot shape-cast (th, tw) i1 -> (s, 1)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+        row_ok = ((ti * th + sidx // tw < hi)
+                  & (tj * tw + sidx % tw < wi))
+        g = jnp.where(row_ok, g, 0)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_out), 1)
+        outs = []
+        for h in range(nh):
+            acc = jnp.zeros((s, t_out), jnp.float32)
+            for pt in range(p):
+                ai = h * p + pt
+                lx, ly, xi, yi, a = _corner_geometry(
+                    loc, aw, ai * 2, ai, wj, hj)
+                for cy in (0, 1):
+                    wy = ly if cy else 1.0 - ly
+                    gy = yi + cy
+                    vy = (gy >= 0) & (gy < hj)
+                    for cx in (0, 1):
+                        wx = lx if cx else 1.0 - lx
+                        gx = xi + cx
+                        valid = vy & (gx >= 0) & (gx < wj) & row_ok
+                        idx = gy * wjp + gx
+                        wgt = jnp.where(valid, wy * wx * a, 0.0)
+                        acc = acc + jnp.where(iota == idx, wgt, 0.0)
+            gh = g[:, h * hd:(h + 1) * hd]
+            outs.append(jax.lax.dot_general(
+                acc.astype(gdtype), gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))   # (T_out, hd)
+        out_ref[0] += jnp.concatenate(outs, -1).reshape(hj, wjp, c)
+
+    imap = lambda bb, t: (bb, t // ntj, t % ntj, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nti * ntj),
+        in_specs=[
+            pl.BlockSpec((1, th, tw, l2), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw, la), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw, c), imap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hj, wjp, c), lambda bb, t: (bb, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hj, wjp, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(loc_ij, aw_ij, g_i)
+
+
+def _encoder_level_bwd_v_pallas(g_levels, meta_by_q, vj_hw,
                                 spatial_shapes, num_heads, head_dim,
                                 num_points, halo, interpret):
     """d(value) for ONE value level j. Returns (B, Hj, Wj, C) f32.
 
     g_levels: per query level, <=128-lane chunks of the cotangent
     (B, Hi, Wip, lane) — zero in padded columns, so padded query positions
-    contribute nothing. loc_by_q/aw_by_q: per query level, the LEVEL-j
-    slice of loc/aw ((B, Hi, Wip, nh*p*2) / (B, Hi, Wip, nh*p)).
+    contribute nothing. meta_by_q: per query level, the LEVEL-j loc and aw
+    slices PACKED into one 128-lane buffer (B, Hi, Wip, 128) laid out
+    [loc (nh*p*2) | aw (nh*p) | zero pad]: Mosaic requires HBM DMA slice
+    extents along the lane dim to be multiples of the (1, 128) tiling, so
+    DMA'ing the raw 64-lane loc / 32-lane aw buffers is a compile error
+    ("Slice shape along dimension 3 must be aligned to tiling (128)" —
+    the r2 'Mosaic internal error', root-caused r3); one packed aligned
+    buffer also halves the DMA count.
     """
     hj, wj = vj_hw
     nh, hd, p = num_heads, head_dim, num_points
     nl = len(spatial_shapes)
     c = nh * hd
-    b = loc_by_q[0].shape[0]
+    b = meta_by_q[0].shape[0]
     lane = g_levels[0][0].shape[-1]
     nchunks = len(g_levels[0])
     gdtype = g_levels[0][0].dtype
@@ -566,13 +686,10 @@ def _encoder_level_bwd_v_pallas(g_levels, loc_by_q, aw_by_q, vj_hw,
     def kernel(*refs):
         ng = nl * nchunks
         g_refs = refs[:ng]                     # [i * nchunks + k]
-        loc_refs = refs[ng:ng + nl]
-        aw_refs = refs[ng + nl:ng + 2 * nl]
-        out_ref = refs[ng + 2 * nl]
-        g_scr = refs[ng + 2 * nl + 1:ng + 2 * nl + 1 + ng]
-        loc_scr = refs[ng + 2 * nl + 1 + ng:ng + 2 * nl + 1 + ng + nl]
-        aw_scr = refs[ng + 2 * nl + 1 + ng + nl:
-                      ng + 2 * nl + 1 + ng + 2 * nl]
+        meta_refs = refs[ng:ng + nl]
+        out_ref = refs[ng + nl]
+        g_scr = refs[ng + nl + 1:ng + nl + 1 + ng]
+        meta_scr = refs[ng + nl + 1 + ng:ng + nl + 1 + ng + nl]
         sems = refs[-1]
 
         bi = pl.program_id(0)
@@ -594,21 +711,17 @@ def _encoder_level_bwd_v_pallas(g_levels, loc_by_q, aw_by_q, vj_hw,
                     g_scr[n], sems.at[n])
                 dma.start()
                 copies.append(dma)
-            dl = pltpu.make_async_copy(
-                loc_refs[i].at[bi, pl.ds(y0, qh), pl.ds(x0, qw), :],
-                loc_scr[i], sems.at[ng + i])
-            dl.start()
-            da = pltpu.make_async_copy(
-                aw_refs[i].at[bi, pl.ds(y0, qh), pl.ds(x0, qw), :],
-                aw_scr[i], sems.at[ng + nl + i])
-            da.start()
-            copies += [dl, da]
+            dm = pltpu.make_async_copy(
+                meta_refs[i].at[bi, pl.ds(y0, qh), pl.ds(x0, qw), :],
+                meta_scr[i], sems.at[ng + i])
+            dm.start()
+            copies.append(dm)
 
         iota_v = jax.lax.broadcasted_iota(jnp.int32, (1, sv), 1)
         acc = [jnp.zeros((sv, hd), jnp.float32) for _ in range(nh)]
         for i, (hi, wi) in enumerate(spatial_shapes):
             qh, qw = rwin[i]
-            for dma in copies[i * (nchunks + 2):(i + 1) * (nchunks + 2)]:
+            for dma in copies[i * (nchunks + 1):(i + 1) * (nchunks + 1)]:
                 dma.wait()
             tq = tq_pad[i]
             gw = []
@@ -617,11 +730,14 @@ def _encoder_level_bwd_v_pallas(g_levels, loc_by_q, aw_by_q, vj_hw,
                 if tq > qh * qw:
                     wk = jnp.pad(wk, ((0, tq - qh * qw), (0, 0)))
                 gw.append(wk)
-            loc = loc_scr[i][:].reshape(qh * qw, l2).astype(jnp.float32)
-            aw = aw_scr[i][:].reshape(qh * qw, la).astype(jnp.float32)
+            # pad BEFORE lane-slicing: Mosaic's concat lowering rejects
+            # padding a lane-offset slice ("result/input offset mismatch
+            # on non-concat dimension")
+            meta = meta_scr[i][:].reshape(qh * qw, 128)
             if tq > qh * qw:
-                loc = jnp.pad(loc, ((0, tq - qh * qw), (0, 0)))
-                aw = jnp.pad(aw, ((0, tq - qh * qw), (0, 0)))
+                meta = jnp.pad(meta, ((0, tq - qh * qw), (0, 0)))
+            loc = meta[:, :l2]
+            aw = meta[:, l2:l2 + la]
             for h in range(nh):
                 sel = jnp.zeros((tq, sv), jnp.float32)
                 for pt in range(p):
@@ -655,19 +771,20 @@ def _encoder_level_bwd_v_pallas(g_levels, loc_by_q, aw_by_q, vj_hw,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (nl * nchunks + 2 * nl),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (nl * nchunks + nl),
         out_specs=pl.BlockSpec((1, th, tw, c), imap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hj, wj, c), jnp.float32),
         scratch_shapes=[pltpu.VMEM((qh, qw, lane), gdtype)
                         for (qh, qw) in rwin for _ in range(nchunks)]
-        + [pltpu.VMEM((qh, qw, l2), jnp.float32) for (qh, qw) in rwin]
-        + [pltpu.VMEM((qh, qw, la), jnp.float32) for (qh, qw) in rwin]
-        + [pltpu.SemaphoreType.DMA((nl * nchunks + 2 * nl,))],
+        + [pltpu.VMEM((qh, qw, 128), jnp.float32) for (qh, qw) in rwin]
+        + [pltpu.SemaphoreType.DMA((nl * nchunks + nl,))],
+        # the fine-level windowed kernel's reverse-window scratch + one-hot
+        # temporaries peak ~68 MiB at 800 px (v5e has 128 MiB VMEM)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*flat_g, *loc_by_q, *aw_by_q)
+    )(*flat_g, *meta_by_q)
 
 
 def ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes, locations,
@@ -720,26 +837,56 @@ def ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes, locations,
     d_locations = jnp.concatenate(d_loc_parts, axis=1)
     d_weights = jnp.concatenate(d_aw_parts, axis=1)
 
+    assert nh * p * 3 <= 128, (
+        "bwd_v packs loc+aw into one 128-lane DMA buffer; "
+        f"nh*p*(2+1)={nh * p * 3} lanes do not fit")
+
+    def _lvl_slices(i, j):
+        h, w = spatial_shapes[i]
+        loc_ij = locations[:, offs[i]:offs[i + 1]] \
+            .reshape(b, h, w, nh, nl, p, 2)[:, :, :, :, j] \
+            .reshape(b, h, w, nh * p * 2).astype(jnp.float32)
+        aw_ij = weights[:, offs[i]:offs[i + 1]] \
+            .reshape(b, h, w, nh, nl, p)[:, :, :, :, j] \
+            .reshape(b, h, w, nh * p).astype(jnp.float32)
+        return loc_ij, aw_ij
+
     d_val_parts = []
     for j, (hj, wj) in enumerate(spatial_shapes):
-        loc_by_q, aw_by_q = [], []
+        wjp = _round_up(wj, 8)
+        if hj * wjp * c * 4 <= DENSE_BWD_V_LIMIT_BYTES:
+            # coarse level: dense full-level reduction over query tiles
+            acc = None
+            for i, (h, w) in enumerate(spatial_shapes):
+                loc_ij, aw_ij = _lvl_slices(i, j)
+                g_i = g[:, offs[i]:offs[i + 1]].reshape(b, h, w, c) \
+                    .astype(vdtype)
+                tile = (min(TILE_H, h), min(TILE_W, w))
+                dv = _encoder_bwd_v_dense_pallas(
+                    g_i, loc_ij, aw_ij, (h, w), (hj, wj), nh, hd, p,
+                    tile, interpret)
+                acc = dv if acc is None else acc + dv
+            d_val_parts.append(
+                acc[:, :, :wj].reshape(b, splits[j], nh, hd))
+            continue
+        # fine level: windowed value-centric kernel (sane geometry there)
+        meta_by_q = []
         for i, (h, w) in enumerate(spatial_shapes):
             wp = _round_up(w, 8)
-            # level-j lane slice: (..., nh, nl, p, 2) -> (..., nh, p, 2)
-            loc_ij = locations[:, offs[i]:offs[i + 1]] \
-                .reshape(b, h, w, nh, nl, p, 2)[:, :, :, :, j] \
-                .reshape(b, h, w, nh * p * 2).astype(jnp.float32)
-            aw_ij = weights[:, offs[i]:offs[i + 1]] \
-                .reshape(b, h, w, nh, nl, p)[:, :, :, :, j] \
-                .reshape(b, h, w, nh * p).astype(jnp.float32)
+            # level-j lane slice: (..., nh, nl, p, 2) -> (..., nh, p, 2);
+            # loc and aw packed into one 128-lane buffer (Mosaic HBM DMA
+            # slices must be whole (1,128) lane tiles — see kernel doc)
+            loc_ij, aw_ij = _lvl_slices(i, j)
+            meta_ij = jnp.concatenate(
+                [loc_ij, aw_ij,
+                 jnp.zeros(loc_ij.shape[:3] + (128 - nh * p * 3,),
+                           jnp.float32)], axis=-1)
             if wp > w:
-                pad = ((0, 0), (0, 0), (0, wp - w), (0, 0))
-                loc_ij = jnp.pad(loc_ij, pad)
-                aw_ij = jnp.pad(aw_ij, pad)
-            loc_by_q.append(loc_ij)
-            aw_by_q.append(aw_ij)
+                meta_ij = jnp.pad(
+                    meta_ij, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+            meta_by_q.append(meta_ij)
         dv = _encoder_level_bwd_v_pallas(
-            g_levels, loc_by_q, aw_by_q, (hj, wj), spatial_shapes,
+            g_levels, meta_by_q, (hj, wj), spatial_shapes,
             nh, hd, p, halo, interpret)
         d_val_parts.append(dv.reshape(b, splits[j], nh, hd))
     d_value = jnp.concatenate(d_val_parts, axis=1).astype(value.dtype)
@@ -789,3 +936,14 @@ def fused_ms_deform_attn(value: jnp.ndarray,
         return _encoder_pallas_diff(value, tuple(map(tuple, spatial_shapes)),
                                     locations, weights)
     return ms_deform_attn_core_jnp(value, spatial_shapes, locations, weights)
+
+
+# Halo contract enforcement: MSDeformAttn reads this attribute and clamps
+# grid-query sampling offsets to +-DEFAULT_HALO px of the sampled level
+# before calling the core, so every sample provably lands inside the
+# kernel's halo windows — kernel output is then bit-equal in structure to
+# the jnp core ON THE SAME clamped locations, for arbitrary (including
+# imported/trained) offset weights. tests/test_msdeform_kernel.py
+# quantifies the unclamped beyond-halo deviation and pins the clamped
+# equivalence.
+fused_ms_deform_attn.offset_clamp = float(DEFAULT_HALO)

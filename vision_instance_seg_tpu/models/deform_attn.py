@@ -108,6 +108,14 @@ class MSDeformAttn(nn.Module):
     num_points: int = 4
     dtype: jnp.dtype = jnp.float32
     core_fn: Optional[DeformCoreFn] = None
+    # Maximum |sampling offset| in pixels of the sampled level. When set
+    # (or when ``core_fn`` carries an ``offset_clamp`` attribute, as the
+    # fused Pallas kernel does), offsets are clamped BEFORE sampling, which
+    # makes the blocked kernel's halo-window contract exact by construction:
+    # every sample provably stays within ``halo`` px of the query tile, so
+    # kernel == jnp core on the actual (clamped) locations — no silent
+    # divergence for checkpoints with wide trained offsets.
+    offset_clamp: Optional[float] = None
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, reference_points: jnp.ndarray,
@@ -146,7 +154,12 @@ class MSDeformAttn(nn.Module):
         aw = aw.reshape(b, q, nh, nl, npts)
 
         wh = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)
+        clamp = self.offset_clamp
+        if clamp is None:
+            clamp = getattr(self.core_fn, "offset_clamp", None)
         if reference_points.shape[-1] == 2:
+            if clamp is not None:   # halo contract (see class docstring)
+                off = jnp.clip(off, -float(clamp), float(clamp))
             loc = (reference_points[:, :, None, :, None, :]
                    + off / wh[None, None, None, :, None, :])
         else:  # box refs (cx, cy, w, h): offsets scaled by box size

@@ -10,7 +10,8 @@ functions over (params, batch).
 Inference post-process follows Mask2Former instance inference: top-K over
 query x class scores, mask-probability calibration, masks returned at 1/4
 canvas resolution (small device->host transfer; final resize to the original
-image size + RLE encode happen on host, engine/predictor.py).
+image size + RLE encode happen on host — engine/evaluator.py for the eval
+loop, labeling_server/ai_segmentation.py for serving).
 """
 
 from __future__ import annotations
@@ -202,7 +203,32 @@ def make_inference_fn(model, cfg):
         # dominant output tensor (topk x Hm x Wm); probabilities in [0, 1]
         # lose nothing that survives the 0.5 threshold / AP interpolation
         res = dict(res)
+        # tight integer boxes around (prob > 0.5) at mask resolution, +1 px
+        # margin: bilinear resampling is a convex combination, so any
+        # resampled pixel > 0.5 has a source pixel > 0.5 in its 1-px
+        # footprint — the host postprocess only resizes/encodes inside the
+        # box (empty box = provably empty final mask, skipped outright)
+        res["mask_boxes"] = _mask_support_boxes(res["mask_probs"])
         res["mask_probs"] = res["mask_probs"].astype(jnp.bfloat16)
         return res
 
     return jax.jit(infer)
+
+
+def _mask_support_boxes(mask_probs: jnp.ndarray) -> jnp.ndarray:
+    """(..., K, Hm, Wm) probs -> (..., K, 4) int32 (x0, y0, x1, y1),
+    exclusive upper bounds, +1 margin, clipped; (0, 0, 0, 0) when empty."""
+    h, w = mask_probs.shape[-2:]
+    binm = mask_probs > 0.5
+    rows = binm.any(-1)
+    cols = binm.any(-2)
+    yi = jnp.arange(h, dtype=jnp.int32)
+    xi = jnp.arange(w, dtype=jnp.int32)
+    y0 = jnp.min(jnp.where(rows, yi, h), -1) - 1
+    y1 = jnp.max(jnp.where(rows, yi, -1), -1) + 2
+    x0 = jnp.min(jnp.where(cols, xi, w), -1) - 1
+    x1 = jnp.max(jnp.where(cols, xi, -1), -1) + 2
+    valid = rows.any(-1)
+    box = jnp.stack([jnp.clip(x0, 0, w), jnp.clip(y0, 0, h),
+                     jnp.clip(x1, 0, w), jnp.clip(y1, 0, h)], -1)
+    return jnp.where(valid[..., None], box, 0).astype(jnp.int32)
