@@ -24,6 +24,13 @@ def main():
     ap.add_argument("--images", type=int, default=24)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--image-size", type=int, default=800)
+    ap.add_argument("--trained-steps", type=int, default=0,
+                    help="overfit the model for N steps first so the eval "
+                         "measures a REALISTIC mask distribution (compact "
+                         "masks, few instances above threshold) instead of "
+                         "the default worst case (100 random-noise masks "
+                         "per image, where RLE-of-noise dominates and no "
+                         "postprocess can help)")
     args = ap.parse_args()
 
     import jax
@@ -52,12 +59,33 @@ def main():
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "window"
     cfg.INPUT.TEST_PAD_H = cfg.INPUT.TEST_PAD_W = args.image_size
     cfg.TEST.BATCH_SIZE = args.batch
-    cfg.TEST.SCORE_THRESH = 0.0        # postprocess all top-K (worst case)
-    model = build_model(cfg)
-    params = jax.jit(model.init)(
-        jax.random.key(0),
-        normalize_image(jnp.zeros((1, args.image_size, args.image_size, 3)),
-                        cfg))
+    if args.trained_steps:
+        # realistic configuration: reference eval threshold semantics
+        cfg.TEST.SCORE_THRESH = 0.05
+        cfg.MODEL.SWIN.USE_CHECKPOINT = True
+        cfg.TPU.REMAT_ENCODER = True
+        cfg.INPUT.IMAGE_SIZE = args.image_size
+        cfg.INPUT.MIN_SIZE_TEST = args.image_size
+        cfg.INPUT.MAX_SIZE_TEST = args.image_size
+        cfg.INPUT.MAX_INSTANCES = 8
+        cfg.SOLVER.IMS_PER_BATCH = 4
+        cfg.SOLVER.BASE_LR = 2e-4
+        cfg.SOLVER.MAX_ITER = args.trained_steps
+        cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
+        cfg.TEST.EVAL_PERIOD = 10 ** 9
+        cfg.DATASETS.TRAIN = (name,)
+        cfg.DATASETS.TEST = (name,)
+        from vision_instance_seg_tpu.engine.trainer import Trainer
+        trainer = Trainer(cfg)
+        trainer.train()
+        model, params = trainer.model, trainer.state.params
+    else:
+        cfg.TEST.SCORE_THRESH = 0.0    # postprocess all top-K (worst case)
+        model = build_model(cfg)
+        params = jax.jit(model.init)(
+            jax.random.key(0),
+            normalize_image(
+                jnp.zeros((1, args.image_size, args.image_size, 3)), cfg))
     infer = make_inference_fn(model, cfg)
     ev = COCOEvaluator(name, cfg)
 
@@ -66,11 +94,14 @@ def main():
     ev.evaluate(infer, params)
     dt = time.time() - t0
     print(json.dumps({
-        "metric": "eval_pipeline_images_per_sec",
+        "metric": ("eval_pipeline_trained_images_per_sec"
+                   if args.trained_steps else "eval_pipeline_images_per_sec"),
         "value": round(args.images / dt, 2), "unit": "images/s",
         "detail": {"backend": jax.default_backend(),
                    "images": args.images, "batch": args.batch,
                    "image_size": args.image_size,
+                   "trained_steps": args.trained_steps,
+                   "fast_postprocess": bool(cfg.TEST.FAST_POSTPROCESS),
                    "total_s": round(dt, 2)}}))
 
 

@@ -40,7 +40,12 @@ def main():
     ap.add_argument("--cross", default="dense",
                     choices=["dense", "deformable"],
                     help="MaskDINO decoder cross-attention")
+    ap.add_argument("--levels", type=int, default=4,
+                    help="MaskDINO encoder scales (4 = reference 4s yaml)")
+    ap.add_argument("--reps", type=int, default=REPS,
+                    help="in-jit scan repetitions per timed call")
     args = ap.parse_args()
+    reps = args.reps
 
     from vision_instance_seg_tpu.config import get_cfg
     from vision_instance_seg_tpu.engine.solver import make_optimizer
@@ -53,6 +58,9 @@ def main():
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = args.encoder
     cfg.MODEL.SWIN.USE_CHECKPOINT = True
     cfg.TPU.REMAT_ENCODER = True
+    # rolled scan over the deformable encoder layers: keeps the fwd+bwd
+    # Pallas program small enough for the remote compile helper at 4-scale
+    cfg.TPU.SCAN_ENC_UNROLL = 1
     cfg.MODEL.MASK_FORMER.MATCHER = args.matcher
     cfg.MODEL.MASK_FORMER.POINT_MODE = args.point_mode
     cfg.INPUT.MAX_INSTANCES = args.max_instances
@@ -62,7 +70,7 @@ def main():
         cfg.MODEL.MASK_DINO.ENABLED = True
         cfg.MODEL.MASK_DINO.CROSS_ATTENTION = args.cross
         # reference trained config is 4-scale (4s_dowsample1)
-        cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = 4
+        cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = args.levels
     model = build_model(cfg)
 
     b, hw, m = args.batch, args.image_size, int(cfg.INPUT.MAX_INSTANCES)
@@ -89,7 +97,7 @@ def main():
             st2, logs = step(st, batch, jax.random.fold_in(key, i))
             return (st2, tot + logs["loss_total"]), None
         (st, tot), _ = jax.lax.scan(body, (state, jnp.float32(0.0)),
-                                    jnp.arange(REPS))
+                                    jnp.arange(reps))
         return tot
 
     key = jax.random.key(0)
@@ -102,12 +110,13 @@ def main():
         t0 = time.perf_counter()
         float(run(state, batch, key))
         ts.append(time.perf_counter() - t0)
-    ms = statistics.median(ts) * 1e3 / REPS
+    ms = statistics.median(ts) * 1e3 / reps
     print(json.dumps({
         "metric": "train_step_ms",
         "model": "maskdino" if args.maskdino else "mask2former",
         "encoder": args.encoder, "matcher": args.matcher,
         "point_mode": args.point_mode, "batch": b, "image_size": hw,
+        "levels": args.levels if args.maskdino else None,
         "ms_per_step": round(ms, 2),
         "images_per_sec": round(b / (ms / 1e3), 2),
         "compile_s": round(compile_s, 1)}))

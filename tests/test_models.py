@@ -209,6 +209,53 @@ class TestFullAttentionEncoder:
         assert np.isfinite(np.asarray(cls)).all()
 
 
+class TestScannedDeformableEncoder:
+    def test_scan_matches_loop(self):
+        """nn.scan-folded encoder == the per-layer Python loop.
+
+        The scan layout stacks per-layer params along axis 0
+        (encoder_layers/layer/...); stacking the loop layout's
+        encoder_layer{i} subtrees must reproduce the loop output exactly
+        (same ops, one trace) — this also locks the layout contract the
+        d2 import restack (utils/weights._restack_scanned_encoder) and
+        the 3-D TP sharding rule (parallel/mesh.param_shardings) rely on.
+        """
+        from vision_instance_seg_tpu.models.pixel_decoder import (
+            MSDeformAttnPixelDecoder)
+
+        kw = dict(conv_dim=32, mask_dim=32,
+                  transformer_in_features=("res3", "res4", "res5"),
+                  num_encoder_layers=2, num_heads=4, ffn_dim=64,
+                  total_num_feature_levels=4)
+        rng = jax.random.key(0)
+        feats = {
+            n: jax.random.normal(jax.random.fold_in(rng, i),
+                                 (1, 32 >> i, 32 >> i, 8))
+            for i, n in enumerate(["res2", "res3", "res4", "res5"])}
+
+        loop = MSDeformAttnPixelDecoder(scan_layers=False, **kw)
+        p_loop = loop.init(jax.random.key(1), feats)
+        mask_l, outs_l = loop.apply(p_loop, feats)
+
+        scan = MSDeformAttnPixelDecoder(scan_layers=True, **kw)
+        p_scan = scan.init(jax.random.key(2), feats)
+        stacked = p_scan["params"]["encoder_layers"]["layer"]
+        assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda x: x.shape[0] == 2, stacked))
+
+        params = dict(p_loop["params"])
+        layers = [params.pop(f"encoder_layer{i}") for i in range(2)]
+        params["encoder_layers"] = {"layer": jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, 0), *layers)}
+        mask_s, outs_s = scan.apply({"params": params}, feats)
+
+        np.testing.assert_allclose(np.asarray(mask_s), np.asarray(mask_l),
+                                   rtol=1e-5, atol=1e-5)
+        for a, b in zip(outs_s, outs_l):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+
 class TestWindowEncoder:
     def test_forward_matches_shapes(self):
         """ENCODER_ATTENTION=window produces the same output structure."""

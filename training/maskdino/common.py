@@ -112,6 +112,9 @@ def setup_cfg(train_name: Optional[str] = None,
     # canvases (800px) exceed HBM without it at batch >= 4
     cfg.MODEL.SWIN.USE_CHECKPOINT = True
     cfg.TPU.REMAT_ENCODER = True
+    # rolled encoder-layer scan in training: the 4-scale fwd+bwd Pallas
+    # program OOMs the compile helper when unrolled (docs/PERF.md)
+    cfg.TPU.SCAN_ENC_UNROLL = 1
     # TPU-fast criterion. The vectorized Jonker-Volgenant matcher makes
     # exact assignment nearly free (275 vs 260 ms/step greedy, bs4/800px)
     # and is worth +23 AP50 for MaskDINO (docs/PERF.md A/B); grid-point

@@ -235,6 +235,14 @@ def get_cfg() -> CN:
     # training CLIs enable both; forward-only inference is unaffected.
     _C.TPU.REMAT_ENCODER = False
     _C.TPU.REMAT_BACKBONE = False
+    # nn.scan-fold the deformable encoder layers (one trace, stacked
+    # params) — keeps the 4-scale Pallas train-step MLIR small enough for
+    # the compile helper; False restores per-layer encoder_layer{i} params
+    _C.TPU.SCAN_ENC_LAYERS = True
+    # scan unroll: 6 (full) = loop-equivalent XLA program for inference;
+    # the training CLIs and bench_train set 1 (rolled) so the fwd+bwd
+    # program stays compilable at 4-scale. Param layout is unaffected.
+    _C.TPU.SCAN_ENC_UNROLL = 6
     _C.TPU.PROFILE = False             # jax.profiler trace behind a flag
     _C.TPU.PROFILE_DIR = "/tmp/vist_trace"
 

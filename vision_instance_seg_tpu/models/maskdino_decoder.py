@@ -178,7 +178,7 @@ class MaskDINODecoder(nn.Module):
                 MLPHead(self.hidden_dim, self.mask_dim, 3, dtype=self.dtype,
                         name="mask_embed"),
                 MLPHead(self.hidden_dim, 4, 3, dtype=jnp.float32,
-                        name="box_embed"))
+                        zero_last=True, name="box_embed"))
 
     @staticmethod
     def _predict(heads, x, mask_features):
@@ -227,7 +227,7 @@ class MaskDINODecoder(nn.Module):
         enc_cls = nn.Dense(self._num_cls_out, dtype=jnp.float32,
                            bias_init=self._cls_bias_init,
                            name="enc_class_embed")(enc.astype(jnp.float32))
-        enc_delta = MLPHead(c, 4, 3, dtype=jnp.float32,
+        enc_delta = MLPHead(c, 4, 3, dtype=jnp.float32, zero_last=True,
                             name="enc_box_embed")(enc.astype(jnp.float32))
         # anchor per token: pixel centers, base size 0.05 * 2^lvl
         anchors = []

@@ -56,6 +56,37 @@ class DeformableEncoderLayer(nn.Module):
         return LayerNorm(dtype=self.dtype, name="norm2")(src + y)
 
 
+class _DeformableEncoderScanBody(nn.Module):
+    """One deformable encoder layer in ``nn.scan`` form (carry = src).
+
+    The 6 encoder layers are structurally identical, so the Python
+    layer loop produced 6 duplicate traces of the layer body — and with
+    the Pallas sampling kernels that meant ~22 Mosaic kernel
+    instantiations per layer × fwd/bwd × 6 layers, a 7.7 MB MLIR module
+    that OOM-killed the remote TPU compile helper on the 4-scale train
+    step. Scanning over a stacked-parameter layer keeps ONE trace of the
+    body regardless of depth (XLA `while`), shrinking both the program
+    and compile time. Spatial shapes stay static via module attributes.
+    """
+    dim: int
+    num_heads: int
+    num_levels: int
+    num_points: int
+    ffn_dim: int
+    spatial_shapes: Tuple[Tuple[int, int], ...]
+    dtype: jnp.dtype = jnp.float32
+    core_fn: Optional[DeformCoreFn] = None
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points):
+        out = DeformableEncoderLayer(
+            self.dim, self.num_heads, self.num_levels, self.num_points,
+            self.ffn_dim, dtype=self.dtype, core_fn=self.core_fn,
+            name="layer")(src, pos, reference_points,
+                          list(self.spatial_shapes))
+        return out, ()
+
+
 def _flash_or_dense_attention(q, k, v, scale: float):
     """(B, nH, S, hd) self-attention: TPU flash-attention Pallas kernel when
     available, dense jnp otherwise (CPU tests / tiny sequences)."""
@@ -289,6 +320,16 @@ class MSDeformAttnPixelDecoder(nn.Module):
     encoder_attention: str = "deformable"   # "deformable" | "full" | "window"
     encoder_window_size: int = 8
     remat: bool = False    # jax.checkpoint each encoder layer (backward HBM)
+    # fold the (structurally identical) deformable encoder layers into ONE
+    # nn.scan trace over stacked params — required to keep the 4-scale
+    # Pallas train-step program small enough to compile (see
+    # _DeformableEncoderScanBody); loop layout kept for window/full modes
+    scan_layers: bool = True
+    # unroll factor for the scan: full unroll (== num_encoder_layers)
+    # restores the loop's cross-layer XLA fusion for inference (measured
+    # 50.2 vs 71.2 img/s rolled-vs-loop at 3-scale); training sets 1 so the
+    # fwd+bwd Mosaic program stays small enough for the compile helper
+    scan_unroll: int = 1
     dtype: jnp.dtype = jnp.float32
     core_fn: Optional[DeformCoreFn] = None
     attn_fn: Optional[AttnFn] = None
@@ -344,24 +385,45 @@ class MSDeformAttnPixelDecoder(nn.Module):
             # spatial_shapes (arg 4 counting self) is a static python list
             return nn.remat(cls, static_argnums=(4,)) if self.remat else cls
 
-        for li in range(self.num_encoder_layers):
-            if self.encoder_attention == "window":
-                src = _wrap(WindowEncoderLayer)(
-                    self.conv_dim, self.num_heads, self.ffn_dim,
-                    window_size=self.encoder_window_size, shift=bool(li % 2),
-                    dtype=self.dtype, attn_fn=self.attn_fn,
-                    name=f"encoder_layer{li}")(src, pos, ref, shapes)
-            elif self.encoder_attention == "full":
-                src = _wrap(FullAttentionEncoderLayer)(
-                    self.conv_dim, self.num_heads, self.ffn_dim,
-                    dtype=self.dtype,
-                    name=f"encoder_layer{li}")(src, pos, ref, shapes)
-            else:
-                src = _wrap(DeformableEncoderLayer)(
-                    self.conv_dim, self.num_heads, num_levels,
-                    self.num_points, self.ffn_dim, dtype=self.dtype,
-                    core_fn=self.core_fn,
-                    name=f"encoder_layer{li}")(src, pos, ref, shapes)
+        if self.encoder_attention == "deformable" and self.scan_layers:
+            # one scanned trace over stacked per-layer params (see
+            # _DeformableEncoderScanBody docstring); remat applies to the
+            # scan body, i.e. per layer, matching the loop behaviour
+            body = (nn.remat(_DeformableEncoderScanBody) if self.remat
+                    else _DeformableEncoderScanBody)
+            stack = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_encoder_layers,
+                unroll=max(1, min(self.scan_unroll,
+                                  self.num_encoder_layers)))
+            src, _ = stack(
+                self.conv_dim, self.num_heads, num_levels, self.num_points,
+                self.ffn_dim, spatial_shapes=tuple(shapes),
+                dtype=self.dtype, core_fn=self.core_fn,
+                name="encoder_layers")(src, pos, ref)
+        else:
+            for li in range(self.num_encoder_layers):
+                if self.encoder_attention == "window":
+                    src = _wrap(WindowEncoderLayer)(
+                        self.conv_dim, self.num_heads, self.ffn_dim,
+                        window_size=self.encoder_window_size,
+                        shift=bool(li % 2),
+                        dtype=self.dtype, attn_fn=self.attn_fn,
+                        name=f"encoder_layer{li}")(src, pos, ref, shapes)
+                elif self.encoder_attention == "full":
+                    src = _wrap(FullAttentionEncoderLayer)(
+                        self.conv_dim, self.num_heads, self.ffn_dim,
+                        dtype=self.dtype,
+                        name=f"encoder_layer{li}")(src, pos, ref, shapes)
+                else:
+                    src = _wrap(DeformableEncoderLayer)(
+                        self.conv_dim, self.num_heads, num_levels,
+                        self.num_points, self.ffn_dim, dtype=self.dtype,
+                        core_fn=self.core_fn,
+                        name=f"encoder_layer{li}")(src, pos, ref, shapes)
 
         # split back to maps (level 0 = lowest res)
         outs = []
@@ -418,4 +480,6 @@ def build_pixel_decoder(cfg, dtype=jnp.float32,
         encoder_attention=s.get("ENCODER_ATTENTION", "deformable"),
         encoder_window_size=s.get("ENCODER_WINDOW_SIZE", 8),
         remat=bool(cfg.TPU.get("REMAT_ENCODER", False)),
+        scan_layers=bool(cfg.TPU.get("SCAN_ENC_LAYERS", True)),
+        scan_unroll=int(cfg.TPU.get("SCAN_ENC_UNROLL", 6)),
         dtype=dtype, core_fn=core_fn, attn_fn=attn_fn)

@@ -59,19 +59,30 @@ class MultiheadAttention(nn.Module):
 
 
 class MLPHead(nn.Module):
-    """N-layer MLP (ReLU between layers) — DETR-style head."""
+    """N-layer MLP (ReLU between layers) — DETR-style head.
+
+    ``zero_last`` zero-inits the final layer (Deformable-DETR/DINO box-head
+    convention: the predicted delta starts at 0 so boxes start exactly at
+    their reference anchors; with a random last layer the 9-10 iterative
+    ``sigmoid(delta + inv_sigmoid(ref))`` refinements compound random
+    deltas into saturated boxes whose gradients vanish — measured as
+    bbox AP ~ 0 on the overfit demo before this fix).
+    """
 
     hidden_dim: int
     out_dim: int
     num_layers: int = 3
     dtype: jnp.dtype = jnp.float32
+    zero_last: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers - 1):
             x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype,
                                  name=f"layer{i}")(x))
-        return nn.Dense(self.out_dim, dtype=self.dtype,
+        kinit = (nn.initializers.zeros if self.zero_last
+                 else nn.linear.default_kernel_init)
+        return nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=kinit,
                         name=f"layer{self.num_layers - 1}")(x)
 
 

@@ -80,13 +80,17 @@ def param_shardings(params: Any, mesh: Mesh,
     tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
 
     def spec(path, x) -> P:
-        if tp == 1 or getattr(x, "ndim", 0) != 2 or x.size < min_size:
-            return P()
         name = "/".join(str(getattr(p, "key", p)) for p in path).lower()
-        if any(k in name for k in _COLUMN_KEYS) and x.shape[1] % tp == 0:
-            return P(None, "model")
-        if any(k in name for k in _ROW_KEYS) and x.shape[0] % tp == 0:
-            return P("model", None)
+        nd = getattr(x, "ndim", 0)
+        # nn.scan-stacked encoder kernels are (L, in, out): shard the
+        # feature dims, leave the scan axis replicated
+        scanned = nd == 3 and "encoder_layers" in name
+        if tp == 1 or (nd != 2 and not scanned) or x.size < min_size:
+            return P()
+        if any(k in name for k in _COLUMN_KEYS) and x.shape[-1] % tp == 0:
+            return P(None, None, "model") if scanned else P(None, "model")
+        if any(k in name for k in _ROW_KEYS) and x.shape[-2] % tp == 0:
+            return P(None, "model", None) if scanned else P("model", None)
         return P()
 
     return jax.tree_util.tree_map_with_path(

@@ -469,6 +469,32 @@ def _identity_init_missing_input_proj(predictor_params: dict, mapped: dict):
                              "bias": np.zeros(kern.shape[1], np.float32)}
 
 
+def _restack_scanned_encoder(mapped: dict, target: dict) -> dict:
+    """Convert per-layer ``encoder_layer{i}`` imports to the nn.scan layout.
+
+    With TPU.SCAN_ENC_LAYERS the deformable encoder params live under
+    ``encoder_layers/layer/...`` with a leading (num_layers,) scan axis
+    instead of per-layer ``encoder_layer{i}`` subtrees (pixel_decoder.py
+    _DeformableEncoderScanBody); d2 checkpoints are per-layer, so stack
+    the mapped subtrees along axis 0.
+    """
+    if "encoder_layers" not in target:
+        return mapped
+    names = sorted((k for k in mapped if re.match(r"encoder_layer\d+$", k)),
+                   key=lambda k: int(k[len("encoder_layer"):]))
+    if not names:
+        return mapped
+    subs = [mapped.pop(k) for k in names]
+
+    def stack(trees):
+        if isinstance(trees[0], dict):
+            return {k: stack([t[k] for t in trees]) for k in trees[0]}
+        return np.stack(trees, axis=0)
+
+    mapped["encoder_layers"] = {"layer": stack(subs)}
+    return mapped
+
+
 def check_sampling_offset_halo(state: Dict[str, np.ndarray]) -> float:
     """Return (and warn about) the max |sampling offset bias| in sampled-
     level pixels vs the Pallas kernel's halo contract. The module clamps
@@ -524,6 +550,7 @@ def import_full_model_weights(path: str, variables: Any) -> Tuple[Any, Dict]:
     pd = _strip_prefix(state, "sem_seg_head.pixel_decoder.")
     if pd and "pixel_decoder" in params:
         mp = _map_pixel_decoder(pd)
+        _restack_scanned_encoder(mp.out, params["pixel_decoder"])
         applied += _deep_update(params["pixel_decoder"], mp.out)
         consumed |= {"sem_seg_head.pixel_decoder." + k for k in mp.consumed}
 
