@@ -67,8 +67,10 @@ def bench_infer(batch: int, iters: int, warmup: int = 3,
                                  normalize_image(images[:1], cfg))
 
     def forward(params, images):
+        # aux_masks=False = the serving configuration (make_inference_fn):
+        # deep-supervision masks are skipped at inference
         out = model.apply(params, normalize_image(images, cfg),
-                          deterministic=True)
+                          deterministic=True, aux_masks=False)
         if isinstance(out, dict):        # MaskDINO
             cls_last, mask_last = out["pred_logits"][-1], out["pred_masks"][-1]
         else:                            # Mask2Former (cls_layers, mask_layers)
@@ -82,21 +84,22 @@ def bench_infer(batch: int, iters: int, warmup: int = 3,
     # steady-state throughput: REPS forwards inside one jit (lax.scan with
     # the carry fed back into the model inputs so XLA cannot hoist the call)
     # amortize the per-dispatch host/tunnel overhead, as a pipelined server
-    # would. The carry perturbs the SMALLEST param leaf — feeding it into
-    # the image forces XLA to re-copy the 61 MB input (in a padded layout,
-    # 1.2 GB) every iteration.
+    # would. The carry perturbs EVERY param leaf: perturbing only one leaf
+    # (round 1/2 harness) left all ops not downstream of it loop-invariant,
+    # and XLA hoisted most of the model out of the scan — those rows
+    # measured a fraction of the network (caught r3 when the standalone
+    # msdeform kernel bench exceeded the "whole model" time). Feeding the
+    # carry into the image instead forces XLA to re-copy the 61 MB input
+    # in a padded layout (1.2 GB) every iteration. The all-leaves
+    # perturbation costs one elementwise add per param (~0.5 ms/rep),
+    # measured small vs every row here.
     reps = 5
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    small = min(range(len(leaves)), key=lambda i: leaves[i].size)
 
     @jax.jit
     def run(params, images):
-        leaves, treedef = jax.tree_util.tree_flatten(params)
-
         def body(carry, _):
-            lv = list(leaves)
-            lv[small] = lv[small] + carry.astype(lv[small].dtype) * 1e-30
-            p = jax.tree_util.tree_unflatten(treedef, lv)
+            p = jax.tree_util.tree_map(
+                lambda lf: lf + carry.astype(lf.dtype) * 1e-30, params)
             return carry + forward(p, images), None
 
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)

@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--encoder", default="window")
+    ap.add_argument("--model", default="mask2former",
+                    choices=["mask2former", "maskdino"])
+    ap.add_argument("--backbone", default="swin_t")
+    ap.add_argument("--levels", type=int, default=4,
+                    help="MaskDINO encoder scales (4 = reference 4s yaml)")
     ap.add_argument("--logdir", default="/tmp/vist_profile")
     args = ap.parse_args()
 
@@ -36,6 +41,17 @@ def main():
     cfg = get_cfg()
     cfg.INPUT.TEST_PAD_H = cfg.INPUT.TEST_PAD_W = args.image_size
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = args.encoder
+    if args.backbone == "swin_b":
+        cfg.MODEL.SWIN.EMBED_DIM = 128
+        cfg.MODEL.SWIN.DEPTHS = [2, 2, 18, 2]
+        cfg.MODEL.SWIN.NUM_HEADS = [4, 8, 16, 32]
+    elif args.backbone == "r50":
+        cfg.MODEL.BACKBONE.NAME = "resnet"
+    if args.model == "maskdino":
+        cfg.MODEL.MASK_DINO.ENABLED = True
+        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = (
+            "deformable" if args.encoder == "deformable" else "dense")
+        cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = args.levels
     model = build_model(cfg)
     images = jnp.zeros((args.batch, args.image_size, args.image_size, 3),
                        jnp.float32)
@@ -44,8 +60,12 @@ def main():
 
     @jax.jit
     def forward(params, images):
-        cls_l, mask_l = model.apply(params, normalize_image(images, cfg),
-                                    deterministic=True)
+        out = model.apply(params, normalize_image(images, cfg),
+                          deterministic=True, aux_masks=False)
+        if isinstance(out, dict):        # MaskDINO
+            cls_l, mask_l = out["pred_logits"], out["pred_masks"]
+        else:
+            cls_l, mask_l = out
         return (jnp.sum(cls_l[-1].astype(jnp.float32))
                 + jnp.sum(mask_l[-1].astype(jnp.float32)))
 
@@ -64,16 +84,12 @@ def main():
     plane = max(planes, key=lambda p: Path(p).stat().st_mtime)
     print("xplane:", plane, file=sys.stderr)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [plane], "framework_op_stats^", {"tqx": "out:csv;"})
-    if isinstance(data, bytes):
-        data = data.decode()
-    lines = data.splitlines()
-    print(lines[0])
-    for ln in lines[1:args.top + 1]:
-        print(ln)
+    # The tensorboard plugin converter is protobuf-incompatible here; our
+    # own raw-varint parser does the top-op table (see xplane_top_ops.py).
+    import subprocess
+    subprocess.run([sys.executable,
+                    str(Path(__file__).parent / "xplane_top_ops.py"),
+                    plane, str(args.top)], check=True)
 
 
 if __name__ == "__main__":

@@ -532,6 +532,41 @@ class TestMaskDINO:
         assert out["mask_probs"].shape == (1, 8, 16, 16)
 
 
+class TestLeanServingPath:
+    """aux_masks=False (the serving config, make_inference_fn) must return
+    the SAME final-layer predictions as the training forward: M2F attention
+    biases are rebuilt from per-level downsampled mask features (linearity
+    of resize, transformer_decoder._attn_mask_from_features) and MaskDINO
+    skips pure-deep-supervision heads, so in fp32 the result is bit-exact.
+    """
+
+    def test_mask2former_final_layer_exact(self, tiny_model):
+        cfg, model, params = tiny_model
+        x = jax.random.normal(jax.random.key(3), (2, 64, 64, 3)) * 40 + 110
+        cls_full, mask_full = model.apply(params, x, deterministic=True)
+        cls_lean, mask_lean = model.apply(params, x, deterministic=True,
+                                          aux_masks=False)
+        assert mask_lean.shape[0] == 1          # only the final mask kept
+        assert cls_lean.shape == cls_full.shape  # cls stack stays full
+        np.testing.assert_array_equal(np.asarray(cls_lean[-1]),
+                                      np.asarray(cls_full[-1]))
+        np.testing.assert_array_equal(np.asarray(mask_lean[-1]),
+                                      np.asarray(mask_full[-1]))
+
+    def test_maskdino_final_layer_exact(self, tiny_dino_model):
+        cfg, model, params = tiny_dino_model
+        x = jax.random.normal(jax.random.key(4), (1, 64, 64, 3)) * 40 + 110
+        full = model.apply(params, x, deterministic=True)
+        lean = model.apply(params, x, deterministic=True, aux_masks=False)
+        assert lean["pred_masks"].shape[0] == 1
+        np.testing.assert_array_equal(np.asarray(lean["pred_logits"][-1]),
+                                      np.asarray(full["pred_logits"][-1]))
+        np.testing.assert_array_equal(np.asarray(lean["pred_masks"][-1]),
+                                      np.asarray(full["pred_masks"][-1]))
+        np.testing.assert_array_equal(np.asarray(lean["pred_boxes"][-1]),
+                                      np.asarray(full["pred_boxes"][-1]))
+
+
 @pytest.mark.slow
 class TestEndToEnd:
     def test_forward_shapes(self, tiny_model):

@@ -203,7 +203,8 @@ class MaskDINODecoder(nn.Module):
                  gt_classes: Optional[jnp.ndarray] = None,
                  gt_boxes: Optional[jnp.ndarray] = None,
                  gt_valid: Optional[jnp.ndarray] = None,
-                 dn_rng: Optional[jnp.ndarray] = None) -> Dict:
+                 dn_rng: Optional[jnp.ndarray] = None,
+                 aux_masks: bool = True) -> Dict:
         c = self.hidden_dim
         b = mask_features.shape[0]
         heads = self._heads()
@@ -254,7 +255,11 @@ class MaskDINODecoder(nn.Module):
                 enc_cls, top_idx[..., None], axis=1)
             out["enc_boxes"] = jnp.take_along_axis(
                 enc_boxes, top_idx[..., None], axis=1)
-            _, out["enc_masks"] = self._predict(heads, tgt, mask_features)
+            if aux_masks or self.initialize_box_type != "no":
+                # aux_masks=False (serving): proposal masks feed only the
+                # enc-level loss (training) and mask-based box init
+                _, out["enc_masks"] = self._predict(heads, tgt,
+                                                    mask_features)
             if self.learn_tgt:
                 # learned content queries; boxes still from the proposals
                 qf = self.param("query_feat", trunc_normal_init(),
@@ -304,9 +309,13 @@ class MaskDINODecoder(nn.Module):
         x = tgt
         cls_list, mask_list, box_list = [], [], []
         if self.initial_pred:
-            cls0, masks0 = self._predict(heads, x, mask_features)
+            if aux_masks:
+                cls0, masks0 = self._predict(heads, x, mask_features)
+                mask_list.append(masks0)
+            else:
+                norm, cls_h = heads[0], heads[1]
+                cls0 = cls_h(norm(x).astype(jnp.float32))
             cls_list.append(cls0)
-            mask_list.append(masks0)
             box_list.append(refs)
 
         ref_pos_head = MLPHead(c, c, 2, dtype=self.dtype,
@@ -353,13 +362,18 @@ class MaskDINODecoder(nn.Module):
             x = LayerNorm(dtype=self.dtype, name=f"layer{li}_norm3")(x + y)
 
             new_refs = self._refine_boxes(heads, x, refs)
-            cls_l, masks_l = self._predict(heads, x, mask_features)
+            if aux_masks or li == self.dec_layers - 1:
+                cls_l, masks_l = self._predict(heads, x, mask_features)
+                mask_list.append(masks_l)
+            else:
+                norm, cls_h = heads[0], heads[1]
+                cls_l = cls_h(norm(x).astype(jnp.float32))
             cls_list.append(cls_l)
-            mask_list.append(masks_l)
             box_list.append(new_refs)
             refs = jax.lax.stop_gradient(new_refs)
 
         out["pred_logits"] = jnp.stack(cls_list)   # (L+1, B, T+Q, C)
+        # aux_masks=False: ONLY the final layer's mask is materialized
         out["pred_masks"] = jnp.stack(mask_list)   # (L+1, B, T+Q, Hm, Wm)
         out["pred_boxes"] = jnp.stack(box_list)    # (L+1, B, T+Q, 4)
         return out

@@ -39,11 +39,13 @@ class MaskFormer(nn.Module):
     predictor: nn.Module
     dtype: jnp.dtype = jnp.float32
 
-    def __call__(self, images: jnp.ndarray, deterministic: bool = True):
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True,
+                 aux_masks: bool = True):
         feats = self.backbone(images.astype(self.dtype), deterministic)
         mask_features, multi_scale = self.pixel_decoder(feats)
         cls_layers, mask_layers = self.predictor(multi_scale, mask_features,
-                                                 deterministic)
+                                                 deterministic,
+                                                 aux_masks=aux_masks)
         return cls_layers, mask_layers
 
 
@@ -59,12 +61,14 @@ class MaskDINO(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def __call__(self, images: jnp.ndarray, deterministic: bool = True,
-                 gt_classes=None, gt_boxes=None, gt_valid=None, dn_rng=None):
+                 gt_classes=None, gt_boxes=None, gt_valid=None, dn_rng=None,
+                 aux_masks: bool = True):
         feats = self.backbone(images.astype(self.dtype), deterministic)
         mask_features, multi_scale = self.pixel_decoder(feats)
         return self.predictor(multi_scale, mask_features, deterministic,
                               gt_classes=gt_classes, gt_boxes=gt_boxes,
-                              gt_valid=gt_valid, dn_rng=dn_rng)
+                              gt_valid=gt_valid, dn_rng=dn_rng,
+                              aux_masks=aux_masks)
 
 
 def build_model(cfg, dtype=None, window_attn_fn=None, deform_core_fn=None
@@ -187,7 +191,8 @@ def make_inference_fn(model, cfg):
     def infer(params, images):
         images = normalize_image(images, cfg)
         if dino:
-            out = model.apply(params, images, deterministic=True)
+            out = model.apply(params, images, deterministic=True,
+                              aux_masks=False)
             res = jax.vmap(
                 lambda c, m, bx: maskdino_instance_inference(
                     c, m, bx, num_classes, topk)
@@ -195,7 +200,8 @@ def make_inference_fn(model, cfg):
               out["pred_boxes"][-1])
         else:
             cls_layers, mask_layers = model.apply(params, images,
-                                                  deterministic=True)
+                                                  deterministic=True,
+                                                  aux_masks=False)
             res = jax.vmap(
                 lambda c, m: instance_inference(c, m, num_classes, topk)
             )(cls_layers[-1], mask_layers[-1])

@@ -43,17 +43,30 @@ AttnFn = Callable[..., jnp.ndarray]
 
 def reference_window_attention(q, k, v, rel_bias, shift_mask, scale,
                                num_windows) -> jnp.ndarray:
-    """Plain-jnp window attention; the numerical golden for the Pallas kernel."""
+    """Plain-jnp window attention; the numerical golden for the Pallas kernel.
+
+    Logits are materialized in the COMPUTE dtype (f32 accumulation inside
+    the MXU, then a fused convert): at 800px stage 1 the logit tensor is
+    (6728, 3, 49, 49) and keeping it f32 cost ~1 GB of HBM traffic per
+    layer across the bias-add/softmax/convert chain (profiled r3, ~40% of
+    the backbone). The softmax exp runs in the compute dtype with an
+    f32-accumulated sum, which preserves f32 numerics exactly when the
+    compute dtype IS f32 (CPU goldens) and stays well within bf16
+    tolerance otherwise (sum of <=49 positive terms).
+    """
     nwt, nh, n, _ = q.shape
     attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
-                      preferred_element_type=jnp.float32)
-    attn = attn + rel_bias[None].astype(jnp.float32)
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+    attn = attn + rel_bias[None].astype(q.dtype)
     if shift_mask is not None:
         nw = shift_mask.shape[0]
-        m = shift_mask[None, :, None].astype(jnp.float32)  # 1, nW, 1, N, N
+        m = shift_mask[None, :, None].astype(q.dtype)   # 1, nW, 1, N, N
         attn = (attn.reshape(nwt // nw, nw, nh, n, n) + m
                 ).reshape(nwt, nh, n, n)
-    attn = jax.nn.softmax(attn, axis=-1)
+    amax = jax.lax.stop_gradient(jnp.max(attn, axis=-1, keepdims=True))
+    e = jnp.exp(attn - amax)
+    s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+    attn = e / s.astype(e.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 

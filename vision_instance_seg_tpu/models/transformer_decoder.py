@@ -100,31 +100,69 @@ class MaskedTransformerDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
-    def _predict(heads, x, mask_features):
-        """x: (B, Q, C); mask_features: (B, H, W, Cm)."""
+    def _embed(heads, x):
+        """x: (B, Q, C) -> (class logits f32, mask embedding)."""
         decoder_norm, class_embed, mask_embed = heads
         y = decoder_norm(x)
-        cls_logits = class_embed(y.astype(jnp.float32))
-        membed = mask_embed(y)
-        mask_logits = jnp.einsum("bqc,bhwc->bqhw", membed.astype(jnp.float32),
-                                 mask_features.astype(jnp.float32),
-                                 preferred_element_type=jnp.float32)
-        return cls_logits, mask_logits
+        return class_embed(y.astype(jnp.float32)), mask_embed(y)
 
-    def _attn_mask(self, mask_logits, h, w, nh):
-        """Downsample mask prediction to the attended scale -> additive bias."""
-        b, q = mask_logits.shape[:2]
-        m = jax.image.resize(mask_logits, (b, q, h, w), method="bilinear")
-        keep = (jax.nn.sigmoid(m) > 0.5).reshape(b, q, h * w)
+    @staticmethod
+    def _mask_from_embed(membed, mask_features):
+        return jnp.einsum("bqc,bhwc->bqhw", membed.astype(jnp.float32),
+                          mask_features.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+
+    @classmethod
+    def _predict(cls, heads, x, mask_features):
+        """x: (B, Q, C); mask_features: (B, H, W, Cm)."""
+        cls_logits, membed = cls._embed(heads, x)
+        return cls_logits, cls._mask_from_embed(membed, mask_features)
+
+    @staticmethod
+    def _bias_from_level_logits(m, nh):
+        """(B, Q, h, w) mask logits at the attended scale -> additive bias."""
+        b, q = m.shape[:2]
+        h, w = m.shape[2:]
+        keep = (m > 0.0).reshape(b, q, h * w)    # sigmoid(m) > 0.5
         # unmask queries whose predicted mask is empty at this scale
         any_kept = jnp.any(keep, axis=-1, keepdims=True)
         keep = jnp.where(any_kept, keep, True)
         bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
         return jnp.broadcast_to(bias[:, None], (b, nh, q, h * w))
 
+    def _attn_mask(self, mask_logits, h, w, nh):
+        """Downsample mask prediction to the attended scale -> additive bias."""
+        b, q = mask_logits.shape[:2]
+        m = jax.image.resize(mask_logits, (b, q, h, w), method="bilinear")
+        return self._bias_from_level_logits(m, nh)
+
+    @staticmethod
+    def _attn_mask_from_features(membed, mf_level, nh):
+        """Bias via per-level downsampled mask FEATURES (inference path).
+
+        Bilinear resize is linear in its input and the mask logit is linear
+        in mask_features, so resize(membed @ F) == membed @ resize(F)
+        exactly (up to float order): the (B, Q, H/4, W/4) full-res logit
+        tensor per layer (f32[8,100,200,200] + a layout copy, ~3 ms/layer
+        profiled r3) never needs to exist when only the thresholded
+        level-resolution bias is consumed. bf16 operands with f32 MXU
+        accumulation: the bias only needs sign(logit).
+        """
+        m = jnp.einsum("bqc,bhwc->bqhw", membed, mf_level,
+                       preferred_element_type=jnp.float32)
+        return MaskedTransformerDecoder._bias_from_level_logits(
+            m, nh)
+
     @nn.compact
     def __call__(self, multi_scale_features: List[jnp.ndarray],
-                 mask_features: jnp.ndarray, deterministic: bool = True):
+                 mask_features: jnp.ndarray, deterministic: bool = True,
+                 aux_masks: bool = True):
+        """aux_masks=False (serving): per-layer full-resolution mask logits
+        are skipped — attention biases come from per-level downsampled mask
+        FEATURES (mathematically identical, see _attn_mask_from_features)
+        and only the FINAL layer's mask is materialized, so the returned
+        mask stack has leading dim 1. Training (and the default) keeps the
+        full deep-supervision stack."""
         b = mask_features.shape[0]
         c = self.hidden_dim
         nlvl = self.num_feature_levels
@@ -159,15 +197,28 @@ class MaskedTransformerDecoder(nn.Module):
                  MLPHead(self.hidden_dim, self.mask_dim, 3, dtype=self.dtype,
                          name="mask_embed"))
 
+        if not aux_masks:
+            mf_levels = [jax.image.resize(
+                mask_features, (b, h, w, mask_features.shape[-1]),
+                method="bilinear") for (h, w) in shapes]
+
         cls_out, mask_out = [], []
-        cls_logits, mask_logits = self._predict(heads, x, mask_features)
+        if aux_masks:
+            cls_logits, mask_logits = self._predict(heads, x, mask_features)
+            mask_out.append(mask_logits)
+        else:
+            cls_logits, membed = self._embed(heads, x)
         cls_out.append(cls_logits)
-        mask_out.append(mask_logits)
 
         for li in range(self.dec_layers):
             lvl = li % nlvl
             h, w = shapes[lvl]
-            attn_bias = self._attn_mask(mask_logits, h, w, self.num_heads)
+            if aux_masks:
+                attn_bias = self._attn_mask(mask_logits, h, w,
+                                            self.num_heads)
+            else:
+                attn_bias = self._attn_mask_from_features(
+                    membed, mf_levels[lvl], self.num_heads)
 
             # masked cross-attention (pre-residual, post-norm like torch impl)
             y = MultiheadAttention(c, self.num_heads, dtype=self.dtype,
@@ -188,11 +239,19 @@ class MaskedTransformerDecoder(nn.Module):
                          name=f"layer{li}_ffn2")(nn.relu(y))
             x = LayerNorm(dtype=self.dtype, name=f"layer{li}_norm3")(x + y)
 
-            cls_logits, mask_logits = self._predict(heads, x, mask_features)
+            if aux_masks:
+                cls_logits, mask_logits = self._predict(heads, x,
+                                                        mask_features)
+                mask_out.append(mask_logits)
+            else:
+                cls_logits, membed = self._embed(heads, x)
             cls_out.append(cls_logits)
-            mask_out.append(mask_logits)
+
+        if not aux_masks:
+            mask_out.append(self._mask_from_embed(membed, mask_features))
 
         # (num_layers+1, B, Q, ...) — last entry is the final prediction
+        # (aux_masks=False: the mask stack holds ONLY that final entry)
         return jnp.stack(cls_out), jnp.stack(mask_out)
 
 
