@@ -117,9 +117,11 @@ class AISegmentationModel:
 
         def _top1(params, images):
             out = base_infer(params, images)
-            prob = jax.image.resize(out["mask_probs"][0, 0], (h, w),
-                                    method="bilinear")
-            return {"mask": (prob > 0.5).astype(jnp.uint8),
+            # mask_probs arrive uint8-quantized (x255, make_inference_fn)
+            prob = jax.image.resize(
+                out["mask_probs"][0, 0].astype(jnp.float32), (h, w),
+                method="bilinear")
+            return {"mask": (prob > 127.5).astype(jnp.uint8),
                     "score": out["scores"][0, 0]}
 
         self._infer_top1 = jax.jit(_top1)

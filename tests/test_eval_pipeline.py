@@ -323,3 +323,32 @@ def test_support_box_contains_final_mask():
         # every parity-positive pixel is also fast-positive-or-boundary
         only_slow = np.logical_and(ms, np.logical_not(mf)).sum()
         assert only_slow / max(ms.sum(), 1) < 0.03
+
+
+def test_inference_fn_sorted_uint8_and_prefix_fetch():
+    """make_inference_fn contract the evaluator's prefix-D2H relies on:
+    scores sorted descending, mask_probs uint8 (x255 quantized), and
+    _fetch_prefix returning exactly the leading rows."""
+    import jax
+    import jax.numpy as jnp
+    from tests.test_models import tiny_cfg
+    from vision_instance_seg_tpu.engine.evaluator import _fetch_prefix
+    from vision_instance_seg_tpu.models import (build_model,
+                                                make_inference_fn,
+                                                normalize_image)
+
+    cfg = tiny_cfg()
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.key(5), (2, 64, 64, 3)) * 40 + 110
+    params = jax.jit(model.init)(jax.random.key(0), normalize_image(x, cfg))
+    out = make_inference_fn(model, cfg)(params, x)
+
+    s = np.asarray(out["scores"])
+    assert (np.diff(s, axis=-1) <= 1e-6).all(), "scores must be sorted desc"
+    assert out["mask_probs"].dtype == jnp.uint8
+
+    # prefix fetch returns the exact leading rows, any need in [0, K]
+    full = np.asarray(out["mask_probs"])
+    for need in (0, 1, 5, full.shape[1]):
+        got = _fetch_prefix(out["mask_probs"], 1, need)
+        np.testing.assert_array_equal(got, full[1, :need])

@@ -101,9 +101,13 @@ def main():
         vh, vw = int(batch["valid_hw"][0, 0]), int(batch["valid_hw"][0, 1])
         oh, ow = int(batch["orig_hw"][0, 0]), int(batch["orig_hw"][0, 1])
         keep = out["scores"][0] > args.threshold
+        # mask_probs arrive uint8-quantized (x255, make_inference_fn)
+        pscale = 1 / 255 if out["mask_probs"].dtype == np.uint8 else 1.0
         masks, scores = [], []
         for i in np.where(keep)[0]:
-            m = _resize_bilinear(out["mask_probs"][0, i], h, w)[:vh, :vw]
+            m = _resize_bilinear(
+                out["mask_probs"][0, i].astype(np.float32) * pscale,
+                h, w)[:vh, :vw]
             m = _resize_bilinear(m, oh, ow) > 0.5
             if m.sum():
                 masks.append(m)
