@@ -62,6 +62,26 @@ class TestSwin:
         assert out["res4"].shape == (1, 4, 6, 128)
         assert out["res5"].shape == (1, 2, 3, 256)
 
+    def test_transpose_free_attention_matches_reference(self):
+        """WindowAttention's default (attn_fn=None) transpose-free path
+        must match the explicit reference_window_attention path (same
+        params, f32; reduction order differs by layout so tolerance is
+        float-epsilon, not zero)."""
+        from vision_instance_seg_tpu.models.swin import (
+            WindowAttention, _shift_attn_mask, reference_window_attention)
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((8, 49, 32)), jnp.float32)
+        mask = jnp.asarray(_shift_attn_mask(14, 14, 7, 3))
+        fast = WindowAttention(32, 4, 7)
+        slow = WindowAttention(32, 4, 7,
+                               attn_fn=reference_window_attention)
+        params = fast.init(jax.random.key(0), x, mask, 4)
+        np.testing.assert_allclose(
+            np.asarray(fast.apply(params, x, mask, 4)),
+            np.asarray(slow.apply(params, x, mask, 4)),
+            atol=1e-7, rtol=1e-4)
+
     def test_window_partition_roundtrip(self):
         from vision_instance_seg_tpu.models.swin import (
             window_partition, window_unpartition)

@@ -62,8 +62,14 @@ DEFAULT_HALO = 6
 
 # Query tile extent (rows, cols) in the query's own level. 8x16 = 128
 # one-hot rows per tile; smaller tiles shrink the halo windows (less VPU
-# compare work) but add grid steps.
-TILE_H, TILE_W = 8, 16
+# compare work — the per-query cost is O(window area) = O((tile+2*halo)^2))
+# but add grid steps and skinnier MXU matmuls. Env-overridable for sweeps
+# (scripts/bench_msdeform.py); TILE_W must stay a multiple of 8 (Mosaic
+# sublane DMA alignment).
+import os as _os
+
+TILE_H = int(_os.environ.get("VIST_MSDEFORM_TILE_H", "8"))
+TILE_W = int(_os.environ.get("VIST_MSDEFORM_TILE_W", "16"))
 
 
 def _round_up(x: int, m: int) -> int:

@@ -309,34 +309,47 @@ def maskdino_criterion(key, outputs: Dict, gt_classes, gt_masks,
         return jax.vmap(lambda ml: point_sample_nhw(ml, match_pts))(
             mask_l.astype(jnp.float32))
 
-    layer_ids = range(n_layers) if cc.deep_supervision else [n_layers - 1]
-    for li in layer_ids:
-        cls_l = cls_layers[li][:, t:]
-        mask_l = mask_layers[li][:, t:]
-        box_l = box_layers[li][:, t:]
+    def _layer_losses(k, cls_f, mask_f, box_f):
+        """Matched (+ dn) losses for ONE stacked layer (B, T+Q, ...)."""
+        cls_l, mask_l, box_l = cls_f[:, t:], mask_f[:, t:], box_f[:, t:]
         pred_pts = _pred_pts(mask_l)
         gt_to_q = dino_hungarian_match(cls_l, pred_pts, gt_pts, box_l,
                                        gt_boxes_cxcywh, gt_classes,
                                        gt_valid, cc)
-        ld = _matched_losses(keys[li], cls_l, mask_l, box_l, gt_classes,
+        ld = _matched_losses(k, cls_l, mask_l, box_l, gt_classes,
                              gt_masks, gt_boxes_cxcywh, gt_valid, gt_to_q, cc,
                              pred_grid=pred_pts if grid_mode else None,
                              gt_grid=gt_pts if grid_mode else None)
-        total = total + _weighted(ld, cc)
-        if li == n_layers - 1:
-            logs.update(ld)
-
+        lt = _weighted(ld, cc)
+        dn_logs = {}
         if dn_meta and t > 0:
             dn_total, dnl = _dn_losses(
-                keys[li], cls_layers[li][:, :t], mask_layers[li][:, :t],
-                box_layers[li][:, :t], dn_meta, gt_classes, gt_masks,
-                gt_boxes_cxcywh, gt_valid, cc,
+                k, cls_f[:, :t], mask_f[:, :t], box_f[:, :t], dn_meta,
+                gt_classes, gt_masks, gt_boxes_cxcywh, gt_valid, cc,
                 gt_grid=gt_pts if grid_mode else None)
-            total = total + dn_total
-            if li == n_layers - 1:
-                logs["loss_dn"] = dn_total
-                logs.update({f"dn_{k[5:]}": v for k, v in dnl.items()
-                             if k.startswith("loss_")})
+            lt = lt + dn_total
+            dn_logs = {"loss_dn": dn_total}
+            dn_logs.update({f"dn_{k2[5:]}": v for k2, v in dnl.items()
+                            if k2.startswith("loss_")})
+        return lt, {**ld, **dn_logs}
+
+    if cc.deep_supervision:
+        # one traced layer body scanned over the (L+1) stacked predictions:
+        # a Python loop traces L+1 copies of the JV matcher + point losses
+        # and the 4-scale MaskDINO train module (~18 MB StableHLO) OOM-kills
+        # this platform's remote compile helper
+        def body(carry, xs):
+            lt, ld = _layer_losses(*xs)
+            return carry + lt, ld
+        total, comps = jax.lax.scan(
+            body, total, (keys[:n_layers], cls_layers, mask_layers,
+                          box_layers))
+        logs.update(jax.tree.map(lambda a: a[-1], comps))
+    else:
+        lt, ld = _layer_losses(keys[n_layers - 1], cls_layers[-1],
+                               mask_layers[-1], box_layers[-1])
+        total = total + lt
+        logs.update(ld)
 
     # encoder (two-stage) supervision: class + boxes + masks
     if "enc_cls" in outputs:

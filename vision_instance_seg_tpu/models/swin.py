@@ -112,6 +112,30 @@ def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     return np.where(diff, -100.0, 0.0).astype(np.float32)
 
 
+def _window_attention_nhd(q, k, v, rel_bias, shift_mask,
+                          scale) -> jnp.ndarray:
+    """``reference_window_attention`` numerics with (nWt, N, nH, hd)
+    operands and NO transposes — einsum dimension numbers carry the head
+    axis wherever it sits, so XLA never materializes a layout copy of the
+    qkv tensor. Same dtype strategy as the reference fn (compute-dtype
+    logits, f32 MXU accumulation, f32 softmax denominator)."""
+    nwt, n, nh, _ = q.shape
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+    attn = attn + rel_bias[None].astype(q.dtype)
+    if shift_mask is not None:
+        nw = shift_mask.shape[0]
+        m = shift_mask[None, :, None].astype(q.dtype)   # 1, nW, 1, N, N
+        attn = (attn.reshape(nwt // nw, nw, nh, n, n) + m
+                ).reshape(nwt, nh, n, n)
+    amax = jax.lax.stop_gradient(jnp.max(attn, axis=-1, keepdims=True))
+    e = jnp.exp(attn - amax)
+    s = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+    attn = e / s.astype(e.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
 class WindowAttention(nn.Module):
     """W-MSA / SW-MSA with relative position bias."""
 
@@ -142,17 +166,28 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init(), name="qkv")(x)
-        qkv = qkv.reshape(nwt, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]                 # (nWt, nH, N, hd)
-
-        if geometry is not None and getattr(self.attn_fn, "wants_geometry",
-                                            False):
-            attn = self.attn_fn(q, k, v, bias, None, scale, num_windows,
-                                geometry=geometry)
+        if self.attn_fn is None:
+            # default jnp path, transpose-free: the 5-D qkv transpose to
+            # (3, nWt, nH, N, hd) materialized a full copy of the stage-1
+            # tensor (bf16[6728,49,3,3,32], ~3 ms/call at 800px profiled
+            # r3); einsum dimension numbers carry the (N, nH) order
+            # natively. Channel split order matches the (3, nH, hd)
+            # reshape, so the torch qkv weight import is unchanged.
+            q = qkv[..., :c].reshape(nwt, n, nh, hd)
+            k = qkv[..., c:2 * c].reshape(nwt, n, nh, hd)
+            v = qkv[..., 2 * c:].reshape(nwt, n, nh, hd)
+            out = _window_attention_nhd(q, k, v, bias, mask, scale)
+            out = out.reshape(nwt, n, c)
         else:
-            attn = (self.attn_fn or reference_window_attention)(
-                q, k, v, bias, mask, scale, num_windows)
-        out = attn.transpose(0, 2, 1, 3).reshape(nwt, n, c)
+            qkv = qkv.reshape(nwt, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]             # (nWt, nH, N, hd)
+            if geometry is not None and getattr(self.attn_fn,
+                                                "wants_geometry", False):
+                attn = self.attn_fn(q, k, v, bias, None, scale, num_windows,
+                                    geometry=geometry)
+            else:
+                attn = self.attn_fn(q, k, v, bias, mask, scale, num_windows)
+            out = attn.transpose(0, 2, 1, 3).reshape(nwt, n, c)
         return nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init(),
                         name="proj")(out)
 
