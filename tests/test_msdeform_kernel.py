@@ -93,13 +93,45 @@ def test_encoder_kernel_4level():
 
 
 def test_dispatch_falls_back_for_free_queries():
-    """Non-grid queries (decoder) route to the jnp core on any backend."""
+    """Non-grid queries (decoder) route to the one-hot core on any
+    backend; it must match the jnp gather core (different f32 summation
+    order -> float-epsilon tolerance)."""
     value, loc, aw = _inputs(4)
     loc, aw = loc[:, :5], aw[:, :5]                    # 5 free queries
     got = fused_ms_deform_attn(value, SHAPES, loc, aw)
     want = ms_deform_attn_core_jnp(value, SHAPES, loc, aw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-6, atol=1e-6)
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_onehot_core_matches_jnp_arbitrary_offsets():
+    """The one-hot free-query core is exact for ARBITRARY offsets — wide
+    (beyond any halo), out-of-map, and off-grid — and its XLA gradient
+    matches the jnp core's VJP."""
+    from vision_instance_seg_tpu.models.deform_attn import (
+        ms_deform_attn_core_onehot)
+
+    value, loc, aw = _inputs(6, offset_px=7.0)         # way past halo 6
+    loc, aw = loc[:, 7:19], aw[:, 7:19]                # 12 free queries
+    # push some samples fully off-map on both sides
+    loc = loc.at[:, :2, :, 0, :, 0].set(-0.7)
+    loc = loc.at[:, 2:4, :, 1, :, 1].set(1.8)
+    want = ms_deform_attn_core_jnp(value, SHAPES, loc, aw)
+    got = ms_deform_attn_core_onehot(value, SHAPES, loc, aw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_onehot(v, l, a):
+        return jnp.sum(ms_deform_attn_core_onehot(v, SHAPES, l, a) ** 2)
+
+    def loss_jnp(v, l, a):
+        return jnp.sum(ms_deform_attn_core_jnp(v, SHAPES, l, a) ** 2)
+
+    g1 = jax.grad(loss_onehot, argnums=(0, 1, 2))(value, loc, aw)
+    g2 = jax.grad(loss_jnp, argnums=(0, 1, 2))(value, loc, aw)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.slow

@@ -71,6 +71,26 @@ import os as _os
 TILE_H = int(_os.environ.get("VIST_MSDEFORM_TILE_H", "8"))
 TILE_W = int(_os.environ.get("VIST_MSDEFORM_TILE_W", "16"))
 
+# Forward selection-matrix construction strategy:
+#   "outer"   — factorized: per point, build a row two-hot (wh, S) and a
+#               col two-hot (ww, S) carrying the bilinear y/x weights (the
+#               attention weight folded into the y side), then expand with
+#               ONE broadcasted outer product into a query-on-lanes
+#               (wh, ww, S) accumulator. ~5x fewer VPU vreg-ops than
+#               "compare" (2 ops/element on the window footprint instead of
+#               ~12, at full 128-lane utilization) at the price of one bulk
+#               (S, nh*nl*p*3) loc/aw transpose per tile. Out-of-map
+#               corners are exact zeros by construction: window rows always
+#               lie in [0, Hj) and padded W columns hold zero values, so an
+#               index compare that matches nothing (or a zero column)
+#               contributes nothing. Beyond-halo samples (possible only
+#               with offset_clamp disabled) contribute ZERO here, where
+#               "compare" clamps them to the window edge — both are outside
+#               the exactness contract.
+#   "compare" — per (point, corner) full-footprint iota-compare rows
+#               (the r2 kernel).
+ONEHOT_MODE = _os.environ.get("VIST_MSDEFORM_ONEHOT", "outer")
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -199,6 +219,11 @@ def _encoder_level_pallas(level_values: Sequence[Sequence[jnp.ndarray]],
         # slices of the flat layout instead
         loc = loc_ref[0].reshape(s, nh * nl * p * 2).astype(jnp.float32)
         aw = aw_ref[0].reshape(s, nh * nl * p).astype(jnp.float32)
+        if ONEHOT_MODE == "outer":
+            # one bulk transpose puts queries on LANES for the two-hot
+            # builds below (vs nh*p per-column vector transposes)
+            locT = loc.T                                     # (l2, S)
+            awT = aw.T                                       # (la, S)
 
         out_acc = [jnp.zeros((s, hd), jnp.float32) for _ in range(nh)]
         for j, (hj, wj) in enumerate(spatial_shapes):
@@ -212,6 +237,43 @@ def _encoder_level_pallas(level_values: Sequence[Sequence[jnp.ndarray]],
                 if t_pad[j] > wh * ww:
                     wk = jnp.pad(wk, ((0, t_pad[j] - wh * ww), (0, 0)))
                 winf.append(wk)
+            if ONEHOT_MODE == "outer":
+                iota_wh = jax.lax.broadcasted_iota(jnp.int32, (wh, 1), 0)
+                iota_ww = jax.lax.broadcasted_iota(jnp.int32, (ww, 1), 0)
+                for h in range(nh):
+                    acc3 = jnp.zeros((wh, ww, s), jnp.float32)
+                    for pt in range(p):
+                        base = ((h * nl + j) * p + pt) * 2
+                        x = locT[base:base + 1, :] * wj - 0.5     # (1,S)
+                        y = locT[base + 1:base + 2, :] * hj - 0.5
+                        xf = jnp.clip(jnp.floor(x), -2.0, float(wj))
+                        yf = jnp.clip(jnp.floor(y), -2.0, float(hj))
+                        lx = x - xf
+                        ly = y - yf
+                        rx0 = xf.astype(jnp.int32) - x0           # (1,S)
+                        ry0 = yf.astype(jnp.int32) - y0
+                        ai = (h * nl + j) * p + pt
+                        a = awT[ai:ai + 1, :]                     # (1,S)
+                        wy0 = (1.0 - ly) * a
+                        wy1 = ly * a
+                        ryh = (jnp.where(iota_wh == ry0, wy0, 0.0)
+                               + jnp.where(iota_wh == ry0 + 1, wy1, 0.0))
+                        rxh = (jnp.where(iota_ww == rx0, 1.0 - lx, 0.0)
+                               + jnp.where(iota_ww == rx0 + 1, lx, 0.0))
+                        acc3 = acc3 + ryh[:, None, :] * rxh[None, :, :]
+                    acc2 = acc3.reshape(wh * ww, s)
+                    if t_pad[j] > wh * ww:
+                        acc2 = jnp.pad(
+                            acc2, ((0, t_pad[j] - wh * ww), (0, 0)))
+                    off = (h * hd) % lane
+                    # TN matmul: contract the window axis (sublanes of both
+                    # operands); result lands queries-major (S, hd)
+                    out_acc[h] = out_acc[h] + jax.lax.dot_general(
+                        acc2.astype(vdtype),
+                        winf[(h * hd) // lane][:, off:off + hd],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                continue
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad[j]), 1)
             for h in range(nh):
                 acc = jnp.zeros((s, t_pad[j]), jnp.float32)
@@ -425,6 +487,9 @@ def _encoder_level_bwd_lw_pallas(level_values, loc_i, aw_i, g_i, qi_hw,
         loc = loc_ref[0].reshape(s, l2).astype(jnp.float32)
         aw = aw_ref[0].reshape(s, la).astype(jnp.float32)
         g = g_ref[0].reshape(s, c)
+        if ONEHOT_MODE == "outer":
+            locT = loc.T                                     # (l2, S)
+            awT = aw.T                                       # (la, S)
 
         dlx_cols = [None] * la
         dly_cols = [None] * la
@@ -440,6 +505,53 @@ def _encoder_level_bwd_lw_pallas(level_values, loc_i, aw_i, g_i, qi_hw,
                 if t_pad[j] > wh * ww:
                     wk = jnp.pad(wk, ((0, t_pad[j] - wh * ww), (0, 0)))
                 winf.append(wk)
+            if ONEHOT_MODE == "outer":
+                # factorized corner reductions (see the forward): the
+                # NT matmul lands M TRANSPOSED (window-major), each point
+                # then needs two sublane contractions with small col
+                # two-hots (bilinear weights / corner-difference signs)
+                # and three row reductions — ~3x fewer VPU vreg-ops than
+                # the per-corner full-footprint masked reductions
+                iota_wh = jax.lax.broadcasted_iota(jnp.int32, (wh, 1), 0)
+                iota_ww = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, ww, 1), 1)
+                for h in range(nh):
+                    off = (h * hd) % lane
+                    vwin = winf[(h * hd) // lane][:wh * ww, off:off + hd]
+                    gh = g[:, h * hd:(h + 1) * hd].astype(vdtype)
+                    m3 = jax.lax.dot_general(
+                        vwin, gh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) \
+                        .reshape(wh, ww, s)      # window-major cotangent@V
+                    for pt in range(p):
+                        base = ((h * nl + j) * p + pt) * 2
+                        x = locT[base:base + 1, :] * wj - 0.5     # (1,S)
+                        y = locT[base + 1:base + 2, :] * hj - 0.5
+                        xf = jnp.clip(jnp.floor(x), -2.0, float(wj))
+                        yf = jnp.clip(jnp.floor(y), -2.0, float(hj))
+                        lx = (x - xf)[None]                     # (1,1,S)
+                        ly = y - yf
+                        rx0 = (xf.astype(jnp.int32) - x0)[None]  # (1,1,S)
+                        ry0 = yf.astype(jnp.int32) - y0
+                        xw = (jnp.where(iota_ww == rx0, 1.0 - lx, 0.0)
+                              + jnp.where(iota_ww == rx0 + 1, lx, 0.0))
+                        xs = (jnp.where(iota_ww == rx0 + 1, 1.0, 0.0)
+                              - jnp.where(iota_ww == rx0, 1.0, 0.0))
+                        yw = (jnp.where(iota_wh == ry0, 1.0 - ly, 0.0)
+                              + jnp.where(iota_wh == ry0 + 1, ly, 0.0))
+                        ys = (jnp.where(iota_wh == ry0 + 1, 1.0, 0.0)
+                              - jnp.where(iota_wh == ry0, 1.0, 0.0))
+                        mx = jnp.sum(m3 * xw, axis=1)            # (wh,S)
+                        mxs = jnp.sum(m3 * xs, axis=1)           # (wh,S)
+                        ai = (h * nl + j) * p + pt
+                        a = awT[ai:ai + 1, :]
+                        da_cols[ai] = jnp.sum(mx * yw, axis=0,
+                                              keepdims=True)
+                        dlx_cols[ai] = a * float(wj) * jnp.sum(
+                            mxs * yw, axis=0, keepdims=True)
+                        dly_cols[ai] = a * float(hj) * jnp.sum(
+                            mx * ys, axis=0, keepdims=True)
+                continue
             iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad[j]), 1)
             for h in range(nh):
                 off = (h * hd) % lane
@@ -482,11 +594,21 @@ def _encoder_level_bwd_lw_pallas(level_values, loc_i, aw_i, g_i, qi_hw,
                     dlx_cols[ai] = a * float(wj) * dx
                     dly_cols[ai] = a * float(hj) * dy
 
-        dloc_flat = jnp.concatenate(
-            [col for pair in zip(dlx_cols, dly_cols) for col in pair],
-            axis=-1)
-        dloc_ref[0] = dloc_flat.reshape(th, tw, l2)
-        daw_ref[0] = jnp.concatenate(da_cols, axis=-1).reshape(th, tw, la)
+        if ONEHOT_MODE == "outer":
+            # rows are (1, S); stack feature-major then transpose back
+            dloc_T = jnp.concatenate(
+                [row for pair in zip(dlx_cols, dly_cols) for row in pair],
+                axis=0)                                      # (l2, S)
+            dloc_ref[0] = dloc_T.T.reshape(th, tw, l2)
+            daw_ref[0] = jnp.concatenate(da_cols, axis=0).T \
+                .reshape(th, tw, la)
+        else:
+            dloc_flat = jnp.concatenate(
+                [col for pair in zip(dlx_cols, dly_cols) for col in pair],
+                axis=-1)
+            dloc_ref[0] = dloc_flat.reshape(th, tw, l2)
+            daw_ref[0] = jnp.concatenate(da_cols, axis=-1) \
+                .reshape(th, tw, la)
 
     grid = (b, nti * ntj)
     imap = lambda bb, t: (bb, t // ntj, t % ntj, 0)
@@ -604,6 +726,58 @@ def _encoder_bwd_v_dense_pallas(g_i, loc_ij, aw_ij, qi_hw, vj_hw,
         row_ok = ((ti * th + sidx // tw < hi)
                   & (tj * tw + sidx % tw < wi))
         g = jnp.where(row_ok, g, 0)
+
+        if ONEHOT_MODE == "outer":
+            # factorized build in VALUE-major orientation (queries on
+            # lanes): acc3 (Hj, Wjp, S) += row-two-hot x col-two-hot, then
+            # ONE NN matmul acc2 (T_out, S) @ g (S, hd) lands the output
+            # orientation directly. Garbage edge-tile query LANES must be
+            # sanitized here (unlike the query-shaped kernels, the
+            # contraction crosses lanes: 0*NaN = NaN) — zeroed loc rows
+            # make every two-hot weight finite and g's zeroed rows already
+            # kill their contribution.
+            locT = loc.T                                     # (l2, S)
+            awT = aw.T                                       # (la, S)
+            sidx_r = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+            okr = ((ti * th + sidx_r // tw < hi)
+                   & (tj * tw + sidx_r % tw < wi))           # (1, S)
+            locT = jnp.where(okr, locT, 0.0)
+            awT = jnp.where(okr, awT, 0.0)
+            iota_hj = jax.lax.broadcasted_iota(jnp.int32, (hj, 1), 0)
+            iota_wj = jax.lax.broadcasted_iota(jnp.int32, (wjp, 1), 0)
+            outs = []
+            for h in range(nh):
+                acc3 = jnp.zeros((hj, wjp, s), jnp.float32)
+                for pt in range(p):
+                    ai = h * p + pt
+                    x = locT[2 * ai:2 * ai + 1, :] * wj - 0.5   # (1,S)
+                    y = locT[2 * ai + 1:2 * ai + 2, :] * hj - 0.5
+                    xf = jnp.clip(jnp.floor(x), -2.0, float(wj))
+                    yf = jnp.clip(jnp.floor(y), -2.0, float(hj))
+                    lx = x - xf
+                    ly = y - yf
+                    xi = xf.astype(jnp.int32)
+                    yi = yf.astype(jnp.int32)
+                    a = awT[ai:ai + 1, :]
+                    wy0 = (1.0 - ly) * a
+                    wy1 = ly * a
+                    yh = (jnp.where(iota_hj == yi, wy0, 0.0)
+                          + jnp.where(iota_hj == yi + 1, wy1, 0.0))
+                    # gx == wj can match a PADDED col only when wjp > wj;
+                    # that gradient lands in padding the caller crops —
+                    # mask it anyway so wjp == wj and wjp > wj agree
+                    xh = (jnp.where((iota_wj == xi) & (iota_wj < wj),
+                                    1.0 - lx, 0.0)
+                          + jnp.where((iota_wj == xi + 1) & (iota_wj < wj),
+                                      lx, 0.0))
+                    acc3 = acc3 + yh[:, None, :] * xh[None, :, :]
+                gh = g[:, h * hd:(h + 1) * hd]
+                outs.append(jax.lax.dot_general(
+                    acc3.reshape(t_out, s).astype(gdtype), gh,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))   # (T_out, hd)
+            out_ref[0] += jnp.concatenate(outs, -1).reshape(hj, wjp, c)
+            return
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_out), 1)
         outs = []
@@ -930,18 +1104,26 @@ def fused_ms_deform_attn(value: jnp.ndarray,
     """DeformCoreFn entry point (models/deform_attn.MSDeformAttn.core_fn).
 
     Dispatch: grid-aligned encoder queries -> blocked Pallas kernel on TPU
-    (differentiable via the jnp-core VJP); anything else (decoder's free
-    queries, CPU backend) -> the jnp core.
+    (differentiable via the blocked Pallas backward); free queries (the
+    MaskDINO decoder's ~300-400 box queries) -> the dense one-hot XLA core
+    (exact for arbitrary offsets, differentiable through XLA, no
+    element-serial gathers); grid queries on CPU -> the jnp gather core
+    (the one-hot selection matrix is (Q, sum HW) dense — unaffordable at
+    encoder Q == sum HW).
     """
     from vision_instance_seg_tpu.models.deform_attn import (
-        ms_deform_attn_core_jnp)
+        ms_deform_attn_core_jnp, ms_deform_attn_core_onehot)
 
     sumhw = sum(h * w for h, w in spatial_shapes)
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and locations.shape[1] == sumhw:
-        return _encoder_pallas_diff(value, tuple(map(tuple, spatial_shapes)),
-                                    locations, weights)
-    return ms_deform_attn_core_jnp(value, spatial_shapes, locations, weights)
+    if locations.shape[1] == sumhw:
+        if on_tpu:
+            return _encoder_pallas_diff(
+                value, tuple(map(tuple, spatial_shapes)), locations, weights)
+        return ms_deform_attn_core_jnp(value, spatial_shapes, locations,
+                                       weights)
+    return ms_deform_attn_core_onehot(value, spatial_shapes, locations,
+                                      weights)
 
 
 # Halo contract enforcement: MSDeformAttn reads this attribute and clamps

@@ -13,9 +13,10 @@ Here the sampling core is a pure function over static per-level shapes:
   TPU (~70ms/encoder-layer at 800px — docs/PERF.md), so this stays the
   reference-parity path; the flagship uses the windowed encoder
   (pixel_decoder.WindowEncoderLayer) / dense decoder cross-attention.
-- ``core_fn`` hook: a Pallas kernel can be swapped in under the same
-  contract (TPU.USE_PALLAS_DEFORM_ATTN; Mosaic's dynamic_gather does not
-  support these shapes today, so none ships).
+- ``core_fn`` hook: kernels/msdeform_attn.fused_ms_deform_attn plugs in
+  under the same contract (TPU.USE_PALLAS_DEFORM_ATTN): the blocked
+  windowed Pallas kernel for grid (encoder) queries, and
+  ``ms_deform_attn_core_onehot`` below for free (decoder) queries.
 
 Shapes (static): value (B, sum_L H_l*W_l, nH, hd); locations
 (B, Q, nH, L, P, 2) normalized to [0,1]; weights (B, Q, nH, L, P) softmaxed
@@ -99,6 +100,72 @@ def ms_deform_attn_core_jnp(value: jnp.ndarray,
     return out.reshape(b, q, nh * hd)
 
 
+def ms_deform_attn_core_onehot(value: jnp.ndarray,
+                               spatial_shapes: Sequence[Tuple[int, int]],
+                               locations: jnp.ndarray,
+                               weights: jnp.ndarray) -> jnp.ndarray:
+    """No-gather sampling core for FREE (small-Q) queries.
+
+    Same contract as ``ms_deform_attn_core_jnp``, but instead of the
+    element-serial XLA row-gathers (TPU has no hardware gather; ~77 ms per
+    decoder cross-attention layer per direction at batch 4), each level
+    builds separable bilinear "two-hot" row/col factors — iota compares
+    against the two corner indices, carrying the y/x lerp weights with the
+    softmaxed attention weight folded into the y side — expands them with
+    one fused broadcast-multiply-sum over points into a selection matrix
+    (B, Q, nH, Hl*Wl), and contracts it with the level's values in ONE
+    batched MXU matmul. Out-of-map corners match no index (or only
+    zero-contribution positions), reproducing the jnp core's zeroing
+    exactly, for ARBITRARY offsets (no halo/window contract). Fully
+    differentiable through XLA — no custom VJP.
+
+    Economics vs the blocked Pallas encoder kernel: the selection matrix
+    is (Q, sum HW) DENSE, so this only makes sense when Q << sum HW (the
+    MaskDINO decoder's ~300-400 box queries, reference
+    maskdino/modeling/transformer_decoder); encoder (grid) queries stay on
+    the windowed Pallas kernel.
+    """
+    b, _, nh, hd = value.shape
+    q = locations.shape[1]
+    splits = [h * w for h, w in spatial_shapes]
+    offsets = np.cumsum([0] + splits)
+    vdtype = value.dtype
+    out = jnp.zeros((b, q, nh, hd), jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, int(offsets[lvl]),
+                                         splits[lvl], 1)   # (B, M, nH, hd)
+        loc = locations[:, :, :, lvl].astype(jnp.float32)  # (B,Q,nH,P,2)
+        aw = weights[:, :, :, lvl].astype(jnp.float32)     # (B,Q,nH,P)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        xf = jnp.floor(x)
+        yf = jnp.floor(y)
+        lx = x - xf
+        ly = y - yf
+        xi = jnp.clip(xf, -2.0, float(w)).astype(jnp.int32)
+        yi = jnp.clip(yf, -2.0, float(h)).astype(jnp.int32)
+        iy = jnp.arange(h, dtype=jnp.int32)
+        ix = jnp.arange(w, dtype=jnp.int32)
+        yh = (jnp.where(iy == yi[..., None], ((1.0 - ly) * aw)[..., None],
+                        0.0)
+              + jnp.where(iy == yi[..., None] + 1, (ly * aw)[..., None],
+                          0.0))                            # (B,Q,nH,P,H)
+        xh = (jnp.where(ix == xi[..., None], (1.0 - lx)[..., None], 0.0)
+              + jnp.where(ix == xi[..., None] + 1, lx[..., None],
+                          0.0))                            # (B,Q,nH,P,W)
+        # explicit point loop: bounds the intermediate at (B,Q,nH,H,W) —
+        # a .sum over an outer-product axis would otherwise rely on XLA
+        # fusing away a P-times-larger broadcast
+        p = yh.shape[3]
+        sel = yh[:, :, :, 0, :, None] * xh[:, :, :, 0, None, :]
+        for pt in range(1, p):
+            sel = sel + yh[:, :, :, pt, :, None] * xh[:, :, :, pt, None, :]
+        sel = sel.reshape(b, q, nh, h * w).astype(vdtype)
+        out = out + jnp.einsum("bqnm,bmnd->bqnd", sel, v,
+                               preferred_element_type=jnp.float32)
+    return out.reshape(b, q, nh * hd)
+
+
 class MSDeformAttn(nn.Module):
     """Learned deformable attention layer (Deformable-DETR formulation)."""
 
@@ -157,6 +224,12 @@ class MSDeformAttn(nn.Module):
         clamp = self.offset_clamp
         if clamp is None:
             clamp = getattr(self.core_fn, "offset_clamp", None)
+        if q != sum(h_ * w_ for h_, w_ in spatial_shapes):
+            # free (decoder) queries run on the one-hot core, which is
+            # exact for ARBITRARY offsets — the halo contract only binds
+            # the windowed encoder kernel; clamping here would diverge
+            # from the reference CUDA op for no benefit
+            clamp = None
         if reference_points.shape[-1] == 2:
             if clamp is not None:   # halo contract (see class docstring)
                 off = jnp.clip(off, -float(clamp), float(clamp))
