@@ -111,3 +111,25 @@ def test_iou_boxes():
     gt = np.array([[2, 2, 4, 4]], dtype=np.float64)
     ious = mask_util.iou(dt, gt, [0])
     np.testing.assert_allclose(ious, [[4 / 28]])
+
+
+def test_encode_box_patch_byte_parity():
+    """encode_box_patch == encode of the composited full frame, byte for
+    byte, including edge-touching and bottom-right-corner patches."""
+    rng = np.random.default_rng(7)
+    h, w = 37, 29
+    cases = [
+        (rng.integers(0, 2, (5, 4)).astype(np.uint8), 3, 6),
+        (np.ones((4, 4), np.uint8), 0, 0),                  # top-left corner
+        (np.ones((5, 3), np.uint8), w - 3, h - 5),          # bottom-right
+        (np.zeros((4, 4), np.uint8), 10, 10),               # empty patch
+        (rng.integers(0, 2, (h, w)).astype(np.uint8), 0, 0),  # full frame
+        (np.array([[1]], np.uint8), w - 1, h - 1),          # last pixel
+    ]
+    for patch, x0, y0 in cases:
+        frame = np.zeros((h, w), np.uint8)
+        frame[y0:y0 + patch.shape[0], x0:x0 + patch.shape[1]] = patch
+        want = mask_util.encode(np.asfortranarray(frame))
+        got = mask_util.encode_box_patch(patch, x0, y0, h, w)
+        assert got["size"] == want["size"]
+        assert got["counts"] == want["counts"], (x0, y0, patch.shape)

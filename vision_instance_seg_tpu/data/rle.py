@@ -119,6 +119,46 @@ def encode(mask: np.ndarray) -> Union[RLEObj, List[RLEObj]]:
     return {"size": [int(h), int(w)], "counts": s}
 
 
+def encode_box_patch(patch: np.ndarray, x0: int, y0: int, h: int,
+                     w: int) -> RLEObj:
+    """RLE of a full (h, w) mask that is zero outside a box, given only
+    the box contents.
+
+    ``patch`` (hb, wb) bool/uint8 sits with its top-left at (x0, y0) of an
+    otherwise-zero (h, w) frame. Column-major transitions exist only
+    inside the box's columns, at absolute flat position
+    (x0 + col) * h + y0 + row — so the counts come from patch-sized work
+    (pycocotools' encode scans the full frame per instance; at eval the
+    frame is megapixels while a typical instance patch is ~1e3 px).
+    Byte-identical to ``encode`` of the composited frame
+    (tests/test_rle.py pins it against the frozen-corpus codec).
+    """
+    hb, wb = patch.shape
+    assert 0 <= x0 and 0 <= y0 and x0 + wb <= w and y0 + hb <= h, (
+        "patch must lie inside the frame")
+    p = np.asarray(patch, dtype=bool)
+    if hb == 0 or wb == 0 or not p.any():
+        return {"size": [int(h), int(w)], "counts": counts_to_string([h * w])}
+    padded = np.zeros((hb + 2, wb), dtype=bool)
+    padded[1:-1] = p
+    d = (padded[1:] != padded[:-1])           # (hb+1, wb): toggle BEFORE row
+    cols, rows = np.nonzero(d.T)              # sorted by column, then row
+    pos = (np.int64(x0) + cols) * h + y0 + rows
+    # a 1-run flowing across a column boundary produces an exit and an
+    # entry at the SAME flat position — adjacent equal transitions cancel
+    # (canonical encode keeps the run unbroken); at most two can coincide
+    eq = pos[1:] == pos[:-1]
+    if eq.any():
+        drop = np.zeros(pos.shape, dtype=bool)
+        drop[:-1] |= eq
+        drop[1:] |= eq
+        pos = pos[~drop]
+    counts = np.concatenate((pos[:1], np.diff(pos), [h * w - int(pos[-1])]))
+    if counts[-1] == 0:   # mask reaches the frame's last pixel: canonical
+        counts = counts[:-1]   # encode emits no trailing zero run
+    return {"size": [int(h), int(w)], "counts": counts_to_string(counts)}
+
+
 def decode(rle: Union[RLEObj, List[RLEObj]]) -> np.ndarray:
     """Decode RLE(s) to uint8 mask(s): (H, W) or (H, W, N)."""
     if isinstance(rle, (list, tuple)):

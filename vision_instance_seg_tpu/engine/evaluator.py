@@ -69,12 +69,14 @@ def _resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
                                                       Image.BILINEAR))
 
 
-def _warp_box_to_frame(prob: np.ndarray, qbox, valid_h: int, valid_w: int,
-                       canvas_h: int, canvas_w: int, orig_h: int,
-                       orig_w: int) -> np.ndarray:
+def _warp_box_patch(prob: np.ndarray, qbox, valid_h: int, valid_w: int,
+                    canvas_h: int, canvas_w: int, orig_h: int,
+                    orig_w: int):
     """Single-warp fast path: resample ``prob`` (Hm, Wm) directly into the
     (orig_h, orig_w) frame, restricted to the output rectangle that the
-    device-computed support box ``qbox`` can touch.
+    device-computed support box ``qbox`` can touch. Returns
+    (bool patch, x0o, y0o) — the rest of the frame is provably all-zero —
+    or (None, 0, 0) for an empty box.
 
     The parity chain (mask-res -> canvas bilinear -> crop valid -> orig
     bilinear) composes into one affine resampling of the mask-res grid:
@@ -91,16 +93,15 @@ def _warp_box_to_frame(prob: np.ndarray, qbox, valid_h: int, valid_w: int,
     sx = (valid_w * wm) / (orig_w * canvas_w)
     sy = (valid_h * hm) / (orig_h * canvas_h)
     x0q, y0q, x1q, y1q = (int(v) for v in qbox)
-    out = np.zeros((orig_h, orig_w), np.uint8)
     if x1q <= x0q or y1q <= y0q:
-        return out
+        return None, 0, 0
     # output rect whose source footprint intersects the support box
     x0o = max(0, int(np.floor((x0q - 0.5) / sx - 0.5)))
     y0o = max(0, int(np.floor((y0q - 0.5) / sy - 0.5)))
     x1o = min(orig_w, int(np.ceil((x1q + 0.5) / sx + 0.5)))
     y1o = min(orig_h, int(np.ceil((y1q + 0.5) / sy + 0.5)))
     if x1o <= x0o or y1o <= y0o:
-        return out
+        return None, 0, 0
     # dst->src affine (WARP_INVERSE_MAP): src = s * (dst + o + 0.5) - 0.5
     m = np.array([[sx, 0.0, (x0o + 0.5) * sx - 0.5],
                   [0.0, sy, (y0o + 0.5) * sy - 0.5]], np.float32)
@@ -108,7 +109,19 @@ def _warp_box_to_frame(prob: np.ndarray, qbox, valid_h: int, valid_w: int,
         prob, m, (x1o - x0o, y1o - y0o),
         flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
         borderMode=cv2.BORDER_REPLICATE)
-    out[y0o:y1o, x0o:x1o] = patch > 0.5
+    return patch > 0.5, x0o, y0o
+
+
+def _warp_box_to_frame(prob: np.ndarray, qbox, valid_h: int, valid_w: int,
+                       canvas_h: int, canvas_w: int, orig_h: int,
+                       orig_w: int) -> np.ndarray:
+    """Full-frame composite of ``_warp_box_patch`` (test/reference surface;
+    the eval loop encodes straight from the patch via encode_box_patch)."""
+    out = np.zeros((orig_h, orig_w), np.uint8)
+    patch, x0o, y0o = _warp_box_patch(prob, qbox, valid_h, valid_w,
+                                      canvas_h, canvas_w, orig_h, orig_w)
+    if patch is not None:
+        out[y0o:y0o + patch.shape[0], x0o:x0o + patch.shape[1]] = patch
     return out
 
 
@@ -144,18 +157,22 @@ def postprocess_instances(mask_probs: np.ndarray, scores: np.ndarray,
         if use_fast:
             if mask_boxes[i, 2] <= mask_boxes[i, 0]:   # provably empty
                 continue
-            binm = _warp_box_to_frame(
+            patch, x0o, y0o = _warp_box_patch(
                 mask_probs[i].astype(np.float32) * prob_scale, mask_boxes[i],
                 valid_h, valid_w, canvas_h, canvas_w, orig_h, orig_w)
+            if patch is None or not patch.any():
+                continue
+            # patch-sized RLE: no megapixel frame materialized or scanned
+            seg = mask_util.encode_box_patch(patch, x0o, y0o, orig_h, orig_w)
         else:
             m = _resize_bilinear(mask_probs[i].astype(np.float32)
                                  * prob_scale, canvas_h, canvas_w)
             m = m[:valid_h, :valid_w]
             m = _resize_bilinear(m, orig_h, orig_w)
             binm = (m > 0.5).astype(np.uint8)
-        if binm.sum() == 0:
-            continue
-        seg = mask_util.encode(np.asfortranarray(binm))
+            if binm.sum() == 0:
+                continue
+            seg = mask_util.encode(np.asfortranarray(binm))
         if isinstance(seg["counts"], bytes):
             seg = dict(seg, counts=seg["counts"].decode("ascii"))
         if boxes is not None:
