@@ -86,7 +86,16 @@ def main():
                     help="skip the (slow) jnp-core timing")
     ap.add_argument("--bwd", action="store_true",
                     help="also time the blocked Pallas backward")
+    ap.add_argument("--queries", type=int, default=0,
+                    help="bench the FREE-query (decoder) path with this "
+                         "many queries: one-hot XLA core vs jnp gather "
+                         "core, fwd and (with --bwd) fwd+bwd")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon plugin ignores "
+                         "JAX_PLATFORMS and hangs when the tunnel is down)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     # level order matches pixel_decoder (lowest resolution first)
     shapes = [(25, 25), (50, 50), (100, 100)]
@@ -97,6 +106,43 @@ def main():
           f"batch={args.batch} dtype={args.dtype}", flush=True)
 
     inputs = make_inputs(args.batch, shapes, dtype)
+
+    if args.queries:
+        from vision_instance_seg_tpu.models.deform_attn import (
+            ms_deform_attn_core_onehot)
+
+        value, loc, aw = inputs
+        rng = np.random.default_rng(9)
+        # free queries: random locations anywhere (decoder box samples)
+        qn = args.queries
+        loc_q = jnp.asarray(rng.uniform(
+            0.02, 0.98, (args.batch, qn, NH, len(shapes), P, 2))
+            .astype(np.float32))
+        aw_q = jnp.asarray(jax.nn.softmax(jnp.asarray(
+            rng.standard_normal((args.batch, qn, NH, len(shapes) * P))
+            .astype(np.float32)), -1).reshape(
+                args.batch, qn, NH, len(shapes), P))
+        for name, core in (("onehot", ms_deform_attn_core_onehot),
+                           ("jnp-gather", ms_deform_attn_core_jnp)):
+            if name == "jnp-gather" and args.no_jnp:
+                continue
+            if args.bwd:
+                def fn(v, l, a, core=core):
+                    out, vjp = jax.vjp(
+                        lambda vv, ll, aa: core(vv, shapes, ll, aa),
+                        v, l, a)
+                    gs = vjp(out)
+                    return (gs[0].astype(jnp.float32).sum() + gs[1].sum()
+                            + gs[2].sum())
+            else:
+                def fn(v, l, a, core=core):
+                    return core(v, shapes, l, a)
+            t = scan_time(fn, (value, loc_q, aw_q), reps=args.reps)
+            kind = "fwd+bwd" if args.bwd else "fwd"
+            print(f"free-query {name} {kind} (Q={qn}): {t * 1e3:.2f} "
+                  f"ms/call ({t * 1e3 / args.batch:.2f} ms/img)",
+                  flush=True)
+        return
 
     # parity on a tiny problem first (fast compile)
     small_shapes = [(12, 12), (6, 6), (3, 3)]

@@ -45,9 +45,16 @@ def main():
                     help="softmax-CE classification (no-object channel)")
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--dn-num", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (JAX_PLATFORMS env is not "
+                         "honored here — the axon TPU plugin pre-registers "
+                         "and wins, and hangs when the tunnel is down)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from fixtures import make_mini_coco
