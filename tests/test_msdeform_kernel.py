@@ -148,7 +148,7 @@ def test_custom_vjp_bwd_rule_uses_blocked_kernels():
     try:
         K.ms_deform_attn_encoder_bwd_pallas = \
             lambda *a, **k: calls.append(1) or orig(*a, interpret=True, **k)
-        out = K._encoder_pallas_bwd(tuple(map(tuple, SHAPES)),
+        out = K._encoder_pallas_bwd(tuple(map(tuple, SHAPES)), None,
                                     (value, loc, aw), g)
     finally:
         K.ms_deform_attn_encoder_bwd_pallas = orig
@@ -180,6 +180,62 @@ def test_blocked_backward_matches_jnp_vjp(shapes):
     for name, a, b in zip(("d_value", "d_loc", "d_aw"), got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_encoder_kernel_query_level_subset():
+    """``query_levels`` restricts the kernel to a subset of query levels
+    (the 4-scale hybrid dispatch routes coarse levels to the one-hot
+    core): outputs must equal the jnp core's slices for those levels."""
+    value, loc, aw = _inputs(40)
+    splits = [h * w for h, w in SHAPES]
+    offs = np.cumsum([0] + splits)
+    want_full = ms_deform_attn_core_jnp(value, SHAPES, loc, aw)
+    qlv = (0, 2)
+    take = lambda a: jnp.concatenate(
+        [a[:, offs[i]:offs[i + 1]] for i in qlv], axis=1)
+    got = ms_deform_attn_encoder_pallas(value, SHAPES, take(loc), take(aw),
+                                        interpret=True, query_levels=qlv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(take(want_full)),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_blocked_backward_query_level_subset():
+    """Subset backward == jnp-core VJP restricted to the subset queries
+    (zero cotangent on the one-hot-routed levels)."""
+    from vision_instance_seg_tpu.kernels.msdeform_attn import (
+        ms_deform_attn_encoder_bwd_pallas)
+
+    shapes = [(3, 3), (8, 8), (4, 4), (2, 2)]
+    qlv = (1, 2)
+    value, loc, aw = _inputs(41, shapes=shapes)
+    splits = [h * w for h, w in shapes]
+    offs = np.cumsum([0] + splits)
+    take = lambda a: jnp.concatenate(
+        [a[:, offs[i]:offs[i + 1]] for i in qlv], axis=1)
+    rng = np.random.default_rng(42)
+    gq = jnp.asarray(rng.standard_normal(
+        (value.shape[0], sum(splits[i] for i in qlv),
+         NH * HD)).astype(np.float32))
+    got = ms_deform_attn_encoder_bwd_pallas(
+        value, shapes, take(loc), take(aw), gq, interpret=True,
+        query_levels=qlv)
+    # oracle: full-query jnp VJP with the cotangent zeroed outside qlv
+    g_full = jnp.zeros((value.shape[0], sum(splits), NH * HD), jnp.float32)
+    for k, i in enumerate(qlv):
+        kof = np.cumsum([0] + [splits[j] for j in qlv])
+        g_full = g_full.at[:, offs[i]:offs[i + 1]].set(
+            gq[:, kof[k]:kof[k + 1]])
+    _, vjp = jax.vjp(
+        lambda v, l, w: ms_deform_attn_core_jnp(v, shapes, l, w),
+        value, loc, aw)
+    dv, dl, dw = vjp(g_full)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(dv),
+                               rtol=2e-4, atol=2e-4, err_msg="d_value")
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(take(dl)),
+                               rtol=2e-4, atol=2e-4, err_msg="d_loc")
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(take(dw)),
+                               rtol=2e-4, atol=2e-4, err_msg="d_aw")
 
 
 @pytest.mark.slow

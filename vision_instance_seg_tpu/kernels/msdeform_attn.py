@@ -47,7 +47,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -351,25 +351,37 @@ def ms_deform_attn_encoder_pallas(value: jnp.ndarray,
                                   locations: jnp.ndarray,
                                   weights: jnp.ndarray,
                                   halo: int = DEFAULT_HALO,
-                                  interpret: bool = False) -> jnp.ndarray:
+                                  interpret: bool = False,
+                                  query_levels: Optional[Sequence[int]]
+                                  = None) -> jnp.ndarray:
     """Deformable-encoder sampling core (queries == the multi-scale grid).
 
     Same contract as ``ms_deform_attn_core_jnp``: value (B, sum HW, nH, hd),
     locations (B, Q, nH, L, P, 2), weights (B, Q, nH, L, P); Q == sum HW and
     query q's location tile is its own grid position. Returns (B, Q, nH*hd)
     f32.
+
+    ``query_levels`` restricts the QUERY side to a subset of levels (in
+    level order): locations/weights then hold only those levels' token
+    slices concatenated, while ``value`` still carries every level. Used
+    by the hybrid dispatch in :func:`fused_ms_deform_attn` to keep coarse
+    query levels off Pallas (fewer Mosaic kernel instantiations — the
+    4-scale train-step compile OOM'd the remote helper on the full set).
     """
     b, sumhw, nh, hd = value.shape
     nl = len(spatial_shapes)
     p = weights.shape[-1]
     c = nh * hd
-    assert locations.shape[1] == sumhw, (
-        "encoder kernel requires one query per multi-scale token; use "
-        "ms_deform_attn_queries_pallas / the jnp core for free queries")
+    splits = [h * w for h, w in spatial_shapes]
+    qlv = list(query_levels) if query_levels is not None else list(range(nl))
+    qsplits = [splits[i] for i in qlv]
+    qoffs = np.cumsum([0] + qsplits)
+    assert locations.shape[1] == sum(qsplits), (
+        "encoder kernel requires one query per multi-scale token of its "
+        "query levels; use the one-hot/jnp core for free queries")
 
     assert c <= 128 or (c % 128 == 0 and 128 % hd == 0), (
         "channel chunking requires head_dim to divide 128")
-    splits = [h * w for h, w in spatial_shapes]
     offs = np.cumsum([0] + splits)
     lane = min(c, 128)
     levels = []
@@ -382,9 +394,10 @@ def ms_deform_attn_encoder_pallas(value: jnp.ndarray,
                        for k in range(c // lane)])
 
     outs = []
-    for i, (h, w) in enumerate(spatial_shapes):
-        loc_i = locations[:, offs[i]:offs[i + 1]].astype(jnp.float32)
-        aw_i = weights[:, offs[i]:offs[i + 1]].astype(jnp.float32)
+    for qi, i in enumerate(qlv):
+        h, w = spatial_shapes[i]
+        loc_i = locations[:, qoffs[qi]:qoffs[qi + 1]].astype(jnp.float32)
+        aw_i = weights[:, qoffs[qi]:qoffs[qi + 1]].astype(jnp.float32)
         loc_i = loc_i.reshape(b, h, w, nh * nl * p * 2)
         aw_i = aw_i.reshape(b, h, w, nh * nl * p)
         out = _encoder_level_pallas(levels, loc_i, aw_i, (h, w),
@@ -969,9 +982,18 @@ def _encoder_level_bwd_v_pallas(g_levels, meta_by_q, vj_hw,
 
 def ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes, locations,
                                       weights, g, halo: int = DEFAULT_HALO,
-                                      interpret: bool = False):
+                                      interpret: bool = False,
+                                      query_levels: Optional[Sequence[int]]
+                                      = None):
     """Blocked backward: returns (d_value, d_locations, d_weights) with the
-    same shapes/dtypes as the jnp core's VJP. ``g`` is (B, sum HW, nH*hd)."""
+    same shapes/dtypes as the jnp core's VJP. ``g`` is (B, Q, nH*hd).
+
+    With ``query_levels`` (see :func:`ms_deform_attn_encoder_pallas`),
+    ``g``/``locations``/``weights`` cover only the listed query levels;
+    ``d_value`` still spans every value level (the one-hot-routed query
+    levels' contribution to d_value flows through XLA autodiff outside
+    this kernel and is summed by the caller's cotangent plumbing).
+    """
     b, sumhw, nh, hd = value.shape
     nl = len(spatial_shapes)
     p = weights.shape[-1]
@@ -979,6 +1001,9 @@ def ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes, locations,
     lane = min(c, 128)
     splits = [h * w for h, w in spatial_shapes]
     offs = np.cumsum([0] + splits)
+    qlv = list(query_levels) if query_levels is not None else list(range(nl))
+    qsplits = [splits[i] for i in qlv]
+    qoffs = np.cumsum([0] + qsplits)
     vdtype = value.dtype
 
     # value levels, W-padded + chunked (as in the forward)
@@ -990,11 +1015,12 @@ def ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes, locations,
             full = jnp.pad(full, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
         levels.append([full[..., k * lane:(k + 1) * lane]
                        for k in range(c // lane)])
-    # cotangent levels, W-padded (zeros) + chunked; bf16 matmul operand
-    # when the value is bf16 (same precision story as the forward)
+    # cotangent levels (per QUERY level), W-padded (zeros) + chunked; bf16
+    # matmul operand when the value is bf16 (same precision as the forward)
     g_levels = []
-    for i, (h, w) in enumerate(spatial_shapes):
-        gi = g[:, offs[i]:offs[i + 1]].reshape(b, h, w, c).astype(vdtype)
+    for qi, i in enumerate(qlv):
+        h, w = spatial_shapes[i]
+        gi = g[:, qoffs[qi]:qoffs[qi + 1]].reshape(b, h, w, c).astype(vdtype)
         wp = _round_up(w, 8)
         if wp > w:
             gi = jnp.pad(gi, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
@@ -1002,12 +1028,13 @@ def ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes, locations,
                          for k in range(c // lane)])
 
     d_loc_parts, d_aw_parts = [], []
-    for i, (h, w) in enumerate(spatial_shapes):
-        loc_i = locations[:, offs[i]:offs[i + 1]].astype(jnp.float32) \
+    for qi, i in enumerate(qlv):
+        h, w = spatial_shapes[i]
+        loc_i = locations[:, qoffs[qi]:qoffs[qi + 1]].astype(jnp.float32) \
             .reshape(b, h, w, nh * nl * p * 2)
-        aw_i = weights[:, offs[i]:offs[i + 1]].astype(jnp.float32) \
+        aw_i = weights[:, qoffs[qi]:qoffs[qi + 1]].astype(jnp.float32) \
             .reshape(b, h, w, nh * nl * p)
-        g_i = g[:, offs[i]:offs[i + 1]].astype(jnp.float32) \
+        g_i = g[:, qoffs[qi]:qoffs[qi + 1]].astype(jnp.float32) \
             .reshape(b, h, w, c)
         dloc, daw = _encoder_level_bwd_lw_pallas(
             levels, loc_i, aw_i, g_i, (h, w), spatial_shapes, nh, hd, p,
@@ -1021,12 +1048,12 @@ def ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes, locations,
         "bwd_v packs loc+aw into one 128-lane DMA buffer; "
         f"nh*p*(2+1)={nh * p * 3} lanes do not fit")
 
-    def _lvl_slices(i, j):
-        h, w = spatial_shapes[i]
-        loc_ij = locations[:, offs[i]:offs[i + 1]] \
+    def _lvl_slices(qi, j):
+        h, w = spatial_shapes[qlv[qi]]
+        loc_ij = locations[:, qoffs[qi]:qoffs[qi + 1]] \
             .reshape(b, h, w, nh, nl, p, 2)[:, :, :, :, j] \
             .reshape(b, h, w, nh * p * 2).astype(jnp.float32)
-        aw_ij = weights[:, offs[i]:offs[i + 1]] \
+        aw_ij = weights[:, qoffs[qi]:qoffs[qi + 1]] \
             .reshape(b, h, w, nh, nl, p)[:, :, :, :, j] \
             .reshape(b, h, w, nh * p).astype(jnp.float32)
         return loc_ij, aw_ij
@@ -1036,27 +1063,29 @@ def ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes, locations,
         wjp = _round_up(wj, 8)
         if hj * wjp * c * 4 <= DENSE_BWD_V_LIMIT_BYTES:
             # coarse level: dense full-level reduction over query tiles
-            acc = None
-            for i, (h, w) in enumerate(spatial_shapes):
-                loc_ij, aw_ij = _lvl_slices(i, j)
-                g_i = g[:, offs[i]:offs[i + 1]].reshape(b, h, w, c) \
+            acc = jnp.zeros((b, hj, wjp, c), jnp.float32)
+            for qi, i in enumerate(qlv):
+                h, w = spatial_shapes[i]
+                loc_ij, aw_ij = _lvl_slices(qi, j)
+                g_i = g[:, qoffs[qi]:qoffs[qi + 1]].reshape(b, h, w, c) \
                     .astype(vdtype)
                 tile = (min(TILE_H, h), min(TILE_W, w))
                 dv = _encoder_bwd_v_dense_pallas(
                     g_i, loc_ij, aw_ij, (h, w), (hj, wj), nh, hd, p,
                     tile, interpret)
-                acc = dv if acc is None else acc + dv
+                acc = acc + dv
             d_val_parts.append(
                 acc[:, :, :wj].reshape(b, splits[j], nh, hd))
             continue
         # fine level: windowed value-centric kernel (sane geometry there)
         meta_by_q = []
-        for i, (h, w) in enumerate(spatial_shapes):
+        for qi, i in enumerate(qlv):
+            h, w = spatial_shapes[i]
             wp = _round_up(w, 8)
             # level-j lane slice: (..., nh, nl, p, 2) -> (..., nh, p, 2);
             # loc and aw packed into one 128-lane buffer (Mosaic HBM DMA
             # slices must be whole (1,128) lane tiles — see kernel doc)
-            loc_ij, aw_ij = _lvl_slices(i, j)
+            loc_ij, aw_ij = _lvl_slices(qi, j)
             meta_ij = jnp.concatenate(
                 [loc_ij, aw_ij,
                  jnp.zeros(loc_ij.shape[:3] + (128 - nh * p * 3,),
@@ -1066,7 +1095,8 @@ def ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes, locations,
                     meta_ij, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
             meta_by_q.append(meta_ij)
         dv = _encoder_level_bwd_v_pallas(
-            g_levels, meta_by_q, (hj, wj), spatial_shapes,
+            g_levels, meta_by_q, (hj, wj),
+            [spatial_shapes[i] for i in qlv],
             nh, hd, p, halo, interpret)
         d_val_parts.append(dv.reshape(b, splits[j], nh, hd))
     d_value = jnp.concatenate(d_val_parts, axis=1).astype(value.dtype)
@@ -1075,26 +1105,44 @@ def ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes, locations,
         d_weights.astype(weights.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _encoder_pallas_diff(value, spatial_shapes, locations, weights):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _encoder_pallas_diff(value, spatial_shapes, query_levels, locations,
+                         weights):
     """Pallas forward with a blocked Pallas backward (both no-gather)."""
     return ms_deform_attn_encoder_pallas(value, spatial_shapes, locations,
-                                         weights)
+                                         weights,
+                                         query_levels=query_levels)
 
 
-def _encoder_pallas_fwd(value, spatial_shapes, locations, weights):
+def _encoder_pallas_fwd(value, spatial_shapes, query_levels, locations,
+                        weights):
     out = ms_deform_attn_encoder_pallas(value, spatial_shapes, locations,
-                                        weights)
+                                        weights,
+                                        query_levels=query_levels)
     return out, (value, locations, weights)
 
 
-def _encoder_pallas_bwd(spatial_shapes, res, g):
+def _encoder_pallas_bwd(spatial_shapes, query_levels, res, g):
     value, locations, weights = res
     return ms_deform_attn_encoder_bwd_pallas(value, spatial_shapes,
-                                             locations, weights, g)
+                                             locations, weights, g,
+                                             query_levels=query_levels)
 
 
 _encoder_pallas_diff.defvjp(_encoder_pallas_fwd, _encoder_pallas_bwd)
+
+
+# Grid-query levels with at most this many tokens are routed to the dense
+# one-hot XLA core instead of the Pallas kernel. Each Pallas-handled query
+# level instantiates its own Mosaic kernels (fwd + bwd_lw + a bwd_v
+# contribution per value level); the 4-scale train step's aggregate Mosaic
+# compile memory OOM-killed the remote compile helper, and its 4th level
+# (the /64 "dowsample1" extra — 13x13 = 169 tokens at 800 px) carries ~1%
+# of the queries. Routing such levels through the one-hot core (exact for
+# arbitrary offsets, differentiable through XLA) brings the kernel count
+# back to the 3-scale module that compiles, at negligible FLOPs: the
+# (Q_coarse, sum HW) selection matrices stay tiny when Q_coarse <= QMAX.
+ONEHOT_QMAX = int(_os.environ.get("VIST_MSDEFORM_ONEHOT_QMAX", "256"))
 
 
 def fused_ms_deform_attn(value: jnp.ndarray,
@@ -1104,26 +1152,57 @@ def fused_ms_deform_attn(value: jnp.ndarray,
     """DeformCoreFn entry point (models/deform_attn.MSDeformAttn.core_fn).
 
     Dispatch: grid-aligned encoder queries -> blocked Pallas kernel on TPU
-    (differentiable via the blocked Pallas backward); free queries (the
-    MaskDINO decoder's ~300-400 box queries) -> the dense one-hot XLA core
-    (exact for arbitrary offsets, differentiable through XLA, no
-    element-serial gathers); grid queries on CPU -> the jnp gather core
-    (the one-hot selection matrix is (Q, sum HW) dense — unaffordable at
-    encoder Q == sum HW).
+    (differentiable via the blocked Pallas backward), except query LEVELS
+    of <= ONEHOT_QMAX tokens, which ride the one-hot XLA core (see
+    ONEHOT_QMAX above); free queries (the MaskDINO decoder's ~300-400 box
+    queries) -> the dense one-hot XLA core (exact for arbitrary offsets,
+    differentiable through XLA, no element-serial gathers); grid queries
+    on CPU -> the jnp gather core (the one-hot selection matrix is
+    (Q, sum HW) dense — unaffordable at encoder Q == sum HW).
     """
     from vision_instance_seg_tpu.models.deform_attn import (
         ms_deform_attn_core_jnp, ms_deform_attn_core_onehot)
 
-    sumhw = sum(h * w for h, w in spatial_shapes)
+    splits = [h * w for h, w in spatial_shapes]
+    sumhw = sum(splits)
     on_tpu = jax.default_backend() == "tpu"
-    if locations.shape[1] == sumhw:
-        if on_tpu:
-            return _encoder_pallas_diff(
-                value, tuple(map(tuple, spatial_shapes)), locations, weights)
+    if locations.shape[1] != sumhw:
+        return ms_deform_attn_core_onehot(value, spatial_shapes, locations,
+                                          weights)
+    if not on_tpu:
         return ms_deform_attn_core_jnp(value, spatial_shapes, locations,
                                        weights)
-    return ms_deform_attn_core_onehot(value, spatial_shapes, locations,
-                                      weights)
+    shapes = tuple(map(tuple, spatial_shapes))
+    fine = tuple(i for i, s in enumerate(splits) if s > ONEHOT_QMAX)
+    if len(fine) == len(shapes):
+        return _encoder_pallas_diff(value, shapes, None, locations, weights)
+    if not fine:
+        return ms_deform_attn_core_onehot(value, spatial_shapes, locations,
+                                          weights)
+    offs = np.cumsum([0] + splits)
+    fset = set(fine)
+    take = lambda arr, idxs: jnp.concatenate(
+        [arr[:, offs[i]:offs[i + 1]] for i in idxs], axis=1)
+    coarse = tuple(i for i in range(len(shapes)) if i not in fset)
+    out_fine = _encoder_pallas_diff(
+        value, shapes, fine, take(locations, fine), take(weights, fine))
+    out_coarse = ms_deform_attn_core_onehot(
+        value, spatial_shapes, take(locations, coarse),
+        take(weights, coarse))
+    # reassemble in level order
+    foffs = np.cumsum([0] + [splits[i] for i in fine])
+    coffs = np.cumsum([0] + [splits[i] for i in coarse])
+    fpos = {i: k for k, i in enumerate(fine)}
+    cpos = {i: k for k, i in enumerate(coarse)}
+    parts = []
+    for i in range(len(shapes)):
+        if i in fset:
+            k = fpos[i]
+            parts.append(out_fine[:, foffs[k]:foffs[k + 1]])
+        else:
+            k = cpos[i]
+            parts.append(out_coarse[:, coffs[k]:coffs[k + 1]])
+    return jnp.concatenate(parts, axis=1)
 
 
 # Halo contract enforcement: MSDeformAttn reads this attribute and clamps

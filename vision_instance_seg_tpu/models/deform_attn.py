@@ -242,5 +242,12 @@ class MSDeformAttn(nn.Module):
 
         core = self.core_fn or ms_deform_attn_core_jnp
         out = core(v, spatial_shapes, loc, aw)
-        return nn.Dense(c, dtype=self.dtype, name="output_proj")(
-            out.astype(self.dtype))
+        # checkpoint_name: under layer remat (TPU.REMAT_ENCODER) the policy
+        # save_only_these_names('msdeform_core') keeps this one activation
+        # so the backward does NOT re-trace the sampling kernels — halving
+        # the Mosaic kernel instantiations in the train-step module (the
+        # 4-scale compile OOM) and skipping the most expensive recompute
+        # (~26 ms/layer at batch 4), for (B, Q, C) of saved HBM per layer.
+        from jax.ad_checkpoint import checkpoint_name
+        out = checkpoint_name(out.astype(self.dtype), "msdeform_core")
+        return nn.Dense(c, dtype=self.dtype, name="output_proj")(out)

@@ -388,9 +388,16 @@ class MSDeformAttnPixelDecoder(nn.Module):
         if self.encoder_attention == "deformable" and self.scan_layers:
             # one scanned trace over stacked per-layer params (see
             # _DeformableEncoderScanBody docstring); remat applies to the
-            # scan body, i.e. per layer, matching the loop behaviour
-            body = (nn.remat(_DeformableEncoderScanBody) if self.remat
-                    else _DeformableEncoderScanBody)
+            # scan body, i.e. per layer, matching the loop behaviour.
+            # Policy: keep the deformable-sampling core's output across the
+            # remat boundary (everything else recomputes) — the backward
+            # then contains NO second instantiation of the Pallas sampling
+            # kernels (compile size) and skips their recompute (time), at
+            # (B, sum HW, C) saved per layer (see MSDeformAttn).
+            body = (nn.remat(_DeformableEncoderScanBody,
+                             policy=jax.checkpoint_policies
+                             .save_only_these_names("msdeform_core"))
+                    if self.remat else _DeformableEncoderScanBody)
             stack = nn.scan(
                 body,
                 variable_axes={"params": 0},
