@@ -189,3 +189,49 @@ def test_dn_negative_noise_shell():
     # pos_mask marks exactly the first half of each group
     pm = np.asarray(pos).reshape(b, groups, 2, m)
     assert pm[:, :, 0].all() and not pm[:, :, 1].any()
+
+
+class TestEmbeddingInitScale:
+    """Query/label embeddings must be unit-scale (torch nn.Embedding parity).
+
+    Round-3 regression guard: at trunc_normal(0.02) every decoder query
+    started as nearly the SAME vector — no per-query identity, so the DINO
+    box head predicted image-INDEPENDENT boxes (bbox AP ~0 on the overfit
+    demo) while masks still localized via per-image mask_features. The
+    reference uses nn.Embedding / nn.init.normal_ (N(0,1)) for query_feat,
+    query_box, dn label embeddings, and level embeddings
+    (mask2former MultiScaleMaskedTransformerDecoder, maskdino decoder,
+    MSDeformAttnPixelDecoder.level_embed).
+    """
+
+    def test_maskdino_query_embeddings_unit_scale(self):
+        cfg = tiny_dino_cfg()
+        cfg.MODEL.MASK_DINO.TWO_STAGE = False
+        _, params, _ = _init(cfg)
+        pred = params["params"]["predictor"]
+        for name in ("query_feat", "query_box", "dn_label_enc"):
+            std = float(np.std(np.asarray(pred[name])))
+            assert 0.5 < std < 2.0, (name, std)
+        # queries must be mutually distinguishable: pairwise cosine
+        # similarity well below 1 (at 0.02-scale trunc-normal init the
+        # vectors were distinct in direction too, but the ATTENTION input
+        # x + qpos was dominated by the shared content — unit scale is
+        # what makes per-query identity visible downstream)
+        qf = np.asarray(pred["query_feat"], np.float64)
+        qf /= np.linalg.norm(qf, axis=1, keepdims=True)
+        cos = qf @ qf.T
+        np.fill_diagonal(cos, 0)
+        assert np.abs(cos).max() < 0.9
+
+    def test_m2f_query_embeddings_unit_scale(self):
+        from tests.test_models import tiny_cfg
+        cfg = tiny_cfg()
+        from vision_instance_seg_tpu.models import build_model, normalize_image
+        model = build_model(cfg)
+        x = jax.random.normal(jax.random.key(1), (1, 64, 64, 3)) * 30 + 100
+        params = jax.jit(model.init)(jax.random.key(0),
+                                     normalize_image(x, cfg))
+        pred = params["params"]["predictor"]
+        for name in ("query_feat", "query_embed", "level_embed"):
+            std = float(np.std(np.asarray(pred[name])))
+            assert 0.5 < std < 2.0, (name, std)

@@ -21,6 +21,23 @@ def trunc_normal_init(stddev: float = 0.02):
     return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
 
 
+def embedding_init():
+    """N(0, 1) — torch ``nn.Embedding`` / ``nn.init.normal_`` parity.
+
+    Query/level/label EMBEDDINGS need unit scale: they are identities, not
+    weights. At trunc_normal(0.02) every query starts as nearly the SAME
+    vector — self/cross attention cannot tell queries apart and per-query
+    specialization (which the DINO box head depends on) is glacial. Found
+    round 3: the MaskDINO box head predicted the same boxes for every image
+    (bbox AP ~0) because 0.02-scale query_feat/query_box gave queries no
+    identity; masks still localized since they ride on per-image
+    mask_features. The reference uses nn.Embedding (N(0,1)) for all of
+    these (mask2former/maskdino transformer decoders, deformable pixel
+    decoder level_embed).
+    """
+    return nn.initializers.normal(stddev=1.0)
+
+
 class DropPath(nn.Module):
     """Stochastic depth per sample (timm's DropPath; used by Swin blocks)."""
 

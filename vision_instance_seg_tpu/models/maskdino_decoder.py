@@ -36,7 +36,7 @@ from vision_instance_seg_tpu.models.box_ops import (
 from vision_instance_seg_tpu.models.deform_attn import (
     DeformCoreFn, MSDeformAttn)
 from vision_instance_seg_tpu.models.layers import (
-    LayerNorm, inverse_sigmoid, position_embedding_sine, trunc_normal_init)
+    LayerNorm, inverse_sigmoid, position_embedding_sine, trunc_normal_init, embedding_init)
 from vision_instance_seg_tpu.models.transformer_decoder import (
     MLPHead, MultiheadAttention)
 
@@ -210,7 +210,7 @@ class MaskDINODecoder(nn.Module):
         heads = self._heads()
         # created unconditionally so init (eval path, no GT) and train share
         # one parameter tree
-        dn_label_table = self.param("dn_label_enc", trunc_normal_init(),
+        dn_label_table = self.param("dn_label_enc", embedding_init(),
                                     (self.num_classes + 1, c), jnp.float32)
 
         srcs, shapes = [], []
@@ -262,7 +262,7 @@ class MaskDINODecoder(nn.Module):
                                                     mask_features)
             if self.learn_tgt:
                 # learned content queries; boxes still from the proposals
-                qf = self.param("query_feat", trunc_normal_init(),
+                qf = self.param("query_feat", embedding_init(),
                                 (self.num_queries, c), jnp.float32)
                 tgt = jnp.broadcast_to(qf[None], (b, self.num_queries, c)
                                        ).astype(self.dtype)
@@ -274,9 +274,9 @@ class MaskDINODecoder(nn.Module):
                     jax.lax.stop_gradient(out["enc_masks"]))
                 refs = jnp.where(mb_valid[..., None], mb, refs)
         else:
-            qf = self.param("query_feat", trunc_normal_init(),
+            qf = self.param("query_feat", embedding_init(),
                             (self.num_queries, c), jnp.float32)
-            qb = self.param("query_box", trunc_normal_init(),
+            qb = self.param("query_box", embedding_init(),
                             (self.num_queries, 4), jnp.float32)
             tgt = jnp.broadcast_to(qf[None], (b, self.num_queries, c)
                                    ).astype(self.dtype)
@@ -323,7 +323,7 @@ class MaskDINODecoder(nn.Module):
         kpos = None
         if self.cross_attention == "dense":
             # key positions: per-level sine embedding + learned level embed
-            lvl_embed = self.param("kpos_level_embed", trunc_normal_init(),
+            lvl_embed = self.param("kpos_level_embed", embedding_init(),
                                    (len(shapes), c), jnp.float32)
             kp = []
             for lvl, (h, w) in enumerate(shapes):

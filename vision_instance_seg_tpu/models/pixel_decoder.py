@@ -27,7 +27,7 @@ from flax import linen as nn
 
 from vision_instance_seg_tpu.models.deform_attn import DeformCoreFn, MSDeformAttn
 from vision_instance_seg_tpu.models.layers import (
-    LayerNorm, position_embedding_sine, trunc_normal_init)
+    LayerNorm, position_embedding_sine, trunc_normal_init, embedding_init)
 from vision_instance_seg_tpu.models.swin import (
     AttnFn, _relative_position_index, reference_window_attention,
     window_partition, window_unpartition)
@@ -358,7 +358,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
         b = tf_feats[0].shape[0]
 
         srcs, poss, shapes = [], [], []
-        level_embed = self.param("level_embed", trunc_normal_init(),
+        level_embed = self.param("level_embed", embedding_init(),
                                  (num_levels, self.conv_dim), jnp.float32)
         for i, f in enumerate(tf_feats):
             h, w = f.shape[1], f.shape[2]

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vision_instance_seg_tpu.models.layers import (
-    LayerNorm, position_embedding_sine, trunc_normal_init)
+    LayerNorm, position_embedding_sine, trunc_normal_init, embedding_init)
 
 
 class MultiheadAttention(nn.Module):
@@ -167,11 +167,11 @@ class MaskedTransformerDecoder(nn.Module):
         c = self.hidden_dim
         nlvl = self.num_feature_levels
 
-        query_feat = self.param("query_feat", trunc_normal_init(),
+        query_feat = self.param("query_feat", embedding_init(),
                                 (self.num_queries, c), jnp.float32)
-        query_embed = self.param("query_embed", trunc_normal_init(),
+        query_embed = self.param("query_embed", embedding_init(),
                                  (self.num_queries, c), jnp.float32)
-        level_embed = self.param("level_embed", trunc_normal_init(),
+        level_embed = self.param("level_embed", embedding_init(),
                                  (nlvl, c), jnp.float32)
 
         srcs, poss, shapes = [], [], []
