@@ -134,6 +134,12 @@ def get_cfg() -> CN:
     # decoder cross-attention: "deformable" (MaskDINO parity) or "dense"
     # (TPU-native dense attention over the multi-scale tokens)
     _C.MODEL.MASK_DINO.CROSS_ATTENTION = "deformable"
+    # dense cross-attention only: add a Gaussian locality bias centered on
+    # each query's reference box (the TPU-native analog of deformable
+    # attention's box-anchored sampling). Without it dense attention has no
+    # locality prior and the box head learns an image-independent box prior
+    # instead of reading the image (measured: bbox AP ~0 on the overfit demo)
+    _C.MODEL.MASK_DINO.BOX_ATTN_BIAS = True
     _C.MODEL.MASK_DINO.INITIALIZE_BOX_TYPE = "no"
     _C.MODEL.MASK_DINO.SEMANTIC_CE_LOSS = False
 

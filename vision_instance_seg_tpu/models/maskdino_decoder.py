@@ -121,6 +121,27 @@ def dn_attn_mask(dn: DNInfo, num_queries: int) -> np.ndarray:
     return mask
 
 
+def box_gaussian_bias(key_xy: jnp.ndarray, refs: jnp.ndarray,
+                      log_sigma: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian cross-attention locality bias from reference boxes.
+
+    The dense analog of deformable attention's box-anchored sampling
+    (reference CUDA MSDeformAttn samples around each query's reference box;
+    SURVEY §2.4): additive logit bias -0.5 * ((key - center) / sigma)^2
+    with sigma = box wh x exp(log_sigma) (per-layer learned, init 1.0 so
+    the Gaussian covers ~±2 box extents), floored at 0.02 of the canvas so
+    tiny boxes keep a view.
+
+    key_xy (S, 2) normalized key centers; refs (B, Q, 4) cxcywh in [0,1];
+    log_sigma (2,). Returns (B, 1, Q, S) f32, broadcast over heads — XLA
+    fuses the add into the logits, nothing (B, H, Q, S)-sized is
+    materialized beyond the logits themselves.
+    """
+    sig = jnp.maximum(refs[..., 2:] * jnp.exp(log_sigma), 0.02)
+    d = (key_xy[None, None] - refs[..., None, :2]) / sig[..., None, :]
+    return (-0.5 * (d * d).sum(-1))[:, None]
+
+
 class MaskDINODecoder(nn.Module):
     """Returns dict of stacked per-layer predictions + dn/enc extras."""
 
@@ -152,6 +173,13 @@ class MaskDINODecoder(nn.Module):
     # "dense": TPU-native dense cross-attention over all multi-scale tokens
     # (2 GFLOP/layer MXU matmuls instead of scattered bilinear gathers).
     cross_attention: str = "deformable"
+    # dense mode: Gaussian locality bias on the cross-attention logits,
+    # centered on each query's reference box with per-layer learned width —
+    # the dense analog of deformable attention's box-anchored sampling.
+    # Without it dense attention carries no locality prior and the box head
+    # minimizes its loss by memorizing an image-independent box prior
+    # instead of reading the image (bbox AP ~0 on the overfit demo).
+    box_attn_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     core_fn: Optional[DeformCoreFn] = None
 
@@ -321,16 +349,22 @@ class MaskDINODecoder(nn.Module):
         ref_pos_head = MLPHead(c, c, 2, dtype=self.dtype,
                                name="ref_point_head")
         kpos = None
+        key_xy = None
         if self.cross_attention == "dense":
             # key positions: per-level sine embedding + learned level embed
             lvl_embed = self.param("kpos_level_embed", embedding_init(),
                                    (len(shapes), c), jnp.float32)
-            kp = []
+            kp, kxy = [], []
             for lvl, (h, w) in enumerate(shapes):
                 p = position_embedding_sine(h, w, c, dtype=self.dtype)
                 kp.append(p.reshape(h * w, c)
                           + lvl_embed[lvl].astype(self.dtype))
+                py, px = jnp.meshgrid((jnp.arange(h) + 0.5) / h,
+                                      (jnp.arange(w) + 0.5) / w,
+                                      indexing="ij")
+                kxy.append(jnp.stack([px.reshape(-1), py.reshape(-1)], -1))
             kpos = jnp.concatenate(kp, axis=0)[None]     # (1, S, C)
+            key_xy = jnp.concatenate(kxy, axis=0)        # (S, 2) f32
         for li in range(self.dec_layers):
             # query pos embedding from current reference boxes (sine of 4d)
             qpos = ref_pos_head(_box_pos_embed(refs, c).astype(self.dtype))
@@ -341,9 +375,15 @@ class MaskDINODecoder(nn.Module):
             x = LayerNorm(dtype=self.dtype, name=f"layer{li}_norm1")(x + y)
 
             if self.cross_attention == "dense":
+                xbias = None
+                if self.box_attn_bias:
+                    log_s = self.param(f"layer{li}_xattn_log_sigma",
+                                       nn.initializers.zeros, (2,),
+                                       jnp.float32)
+                    xbias = box_gaussian_bias(key_xy, refs, log_s)
                 y = MultiheadAttention(c, self.num_heads, dtype=self.dtype,
                                        name=f"layer{li}_cross_attn")(
-                    x + qpos, value + kpos, value, None)
+                    x + qpos, value + kpos, value, xbias)
             else:
                 ref4 = jnp.broadcast_to(
                     refs[:, :, None, :],
@@ -456,4 +496,5 @@ def build_maskdino_decoder(cfg, dtype=jnp.float32,
         initialize_box_type=md.INITIALIZE_BOX_TYPE,
         semantic_ce_loss=md.SEMANTIC_CE_LOSS,
         cross_attention=md.get("CROSS_ATTENTION", "deformable"),
+        box_attn_bias=bool(md.get("BOX_ATTN_BIAS", True)),
         dtype=dtype, core_fn=core_fn)
