@@ -49,6 +49,9 @@ class TestParamLabels:
                          "relative_position_bias_table": np.zeros(1)},
                 "norm1": {"scale": np.zeros(1), "bias": np.zeros(1)}}},
             "predictor": {"query_feat": np.zeros(1),
+                          "query_box": np.zeros(1),
+                          "dn_label_enc": np.zeros(1),
+                          "layer0_xattn_log_sigma": np.zeros(1),
                           "layer0_ffn1": {"kernel": np.zeros(1),
                                           "bias": np.zeros(1)}}}}
         labels = _param_labels(params)
@@ -61,6 +64,11 @@ class TestParamLabels:
         assert p["backbone"]["stage0_block0"]["norm1"]["scale"] == \
             "backbone_nodecay"
         assert p["predictor"]["query_feat"] == "nodecay"
+        # embeddings and attention-scale params are decay-exempt
+        # (reference SOLVER.WEIGHT_DECAY_EMBED = 0)
+        assert p["predictor"]["query_box"] == "nodecay"
+        assert p["predictor"]["dn_label_enc"] == "nodecay"
+        assert p["predictor"]["layer0_xattn_log_sigma"] == "nodecay"
         assert p["predictor"]["layer0_ffn1"]["kernel"] == "main"
 
 

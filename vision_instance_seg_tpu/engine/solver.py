@@ -58,7 +58,8 @@ def _param_labels(params, backbone_key: str = "backbone") -> Any:
         joined = "/".join(str(n) for n in names)
         nodecay = ("norm" in joined.lower() or joined.endswith("bias")
                    or "bias_table" in joined or "_embed" in joined
-                   or "query_feat" in joined)
+                   or "query_feat" in joined or "query_box" in joined
+                   or "dn_label_enc" in joined or "log_sigma" in joined)
         bb = f"/{backbone_key}/" in f"/{joined}/"
         if bb and nodecay:
             return "backbone_nodecay"
