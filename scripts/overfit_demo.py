@@ -45,6 +45,13 @@ def main():
                     help="softmax-CE classification (no-object channel)")
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--dn-num", type=int, default=16)
+    ap.add_argument("--cross", default="dense",
+                    choices=["dense", "deformable"],
+                    help="MaskDINO decoder cross-attention")
+    ap.add_argument("--no-box-bias", action="store_true",
+                    help="disable the dense-mode Gaussian box locality bias")
+    ap.add_argument("--no-geo-readout", action="store_true",
+                    help="disable the dense-mode attention-geometry box head")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (JAX_PLATFORMS env is not "
                          "honored here — the axon TPU plugin pre-registers "
@@ -75,7 +82,9 @@ def main():
     cfg = get_cfg()
     if args.maskdino:
         cfg.MODEL.MASK_DINO.ENABLED = True
-        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
+        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = args.cross
+        cfg.MODEL.MASK_DINO.BOX_ATTN_BIAS = not args.no_box_bias
+        cfg.MODEL.MASK_DINO.GEO_READOUT = not args.no_geo_readout
         cfg.MODEL.MASK_DINO.DN_NUM = args.dn_num
         # MaskDINO base yaml class weight (4.0 vs Mask2Former's 2.0)
         cfg.MODEL.MASK_FORMER.CLASS_WEIGHT = 4.0

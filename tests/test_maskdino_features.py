@@ -280,3 +280,53 @@ class TestBoxAttnBias:
         _, params2, _ = _init(cfg2)
         pred2 = params2["params"]["predictor"]
         assert not any("xattn_log_sigma" in k for k in pred2)
+
+
+class TestGeoReadout:
+    """Attention-geometry readout (GEO_READOUT): per-head centroid/spread
+    of the cross-attention distribution feeding a zero-init box-geometry
+    head. Restores the positional signal that position-free value features
+    cannot carry (dense-mode box regression learned an image-independent
+    prior without it)."""
+
+    def test_attention_geometry_math(self):
+        from vision_instance_seg_tpu.models.transformer_decoder import (
+            MultiheadAttention)
+        C, NH, K = 16, 2, 6
+        key_xy = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (K, 2)), jnp.float32)
+        mha = MultiheadAttention(C, NH)
+        q = jnp.zeros((1, 3, C))
+        kv = jnp.zeros((1, K, C))
+        # force a delta distribution onto key j per query via a huge bias
+        target = jnp.asarray([[0, 2, 5]])
+        bias = jnp.where(jax.nn.one_hot(target, K, dtype=bool)[:, None],
+                         0.0, -1e9)
+        bias = jnp.broadcast_to(bias, (1, NH, 3, K))
+        params = mha.init(jax.random.key(0), q, kv, kv, bias, key_xy)
+        out, geo = mha.apply(params, q, kv, kv, bias, key_xy)
+        assert geo.shape == (1, 3, NH, 4)
+        want = np.asarray(key_xy)[np.asarray(target)[0]]      # (3, 2)
+        np.testing.assert_allclose(np.asarray(geo[0, :, 0, :2]), want,
+                                   atol=1e-5)
+        # delta distribution -> zero spread (up to the 1e-8 floor)
+        assert float(geo[0, :, :, 2:].max()) < 1e-3
+        # uniform distribution -> centroid == mean of key_xy
+        out2, geo2 = mha.apply(params, q, kv, kv, None, key_xy)
+        np.testing.assert_allclose(np.asarray(geo2[0, 0, 0, :2]),
+                                   np.asarray(key_xy).mean(0), atol=1e-5)
+
+    def test_zero_init_is_noop_and_param_gated(self):
+        cfg = tiny_dino_cfg()
+        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
+        cfg.MODEL.MASK_DINO.TWO_STAGE = False
+        _, params, _ = _init(cfg)
+        pred = params["params"]["predictor"]
+        assert "geo_box_head" in pred
+        # zero-init final layer: boxes at init identical to GEO_READOUT off
+        cfg2 = tiny_dino_cfg()
+        cfg2.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
+        cfg2.MODEL.MASK_DINO.TWO_STAGE = False
+        cfg2.MODEL.MASK_DINO.GEO_READOUT = False
+        _, params2, _ = _init(cfg2)
+        assert "geo_box_head" not in params2["params"]["predictor"]

@@ -140,6 +140,11 @@ def get_cfg() -> CN:
     # locality prior and the box head learns an image-independent box prior
     # instead of reading the image (measured: bbox AP ~0 on the overfit demo)
     _C.MODEL.MASK_DINO.BOX_ATTN_BIAS = True
+    # dense cross-attention only: per-head attention centroid/spread readout
+    # feeding a zero-init geometry head that refines the reference boxes —
+    # restores the positional signal that position-free value features
+    # cannot carry (see models/maskdino_decoder.py geo_readout)
+    _C.MODEL.MASK_DINO.GEO_READOUT = True
     _C.MODEL.MASK_DINO.INITIALIZE_BOX_TYPE = "no"
     _C.MODEL.MASK_DINO.SEMANTIC_CE_LOSS = False
 

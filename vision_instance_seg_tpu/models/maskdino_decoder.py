@@ -180,6 +180,14 @@ class MaskDINODecoder(nn.Module):
     # minimizes its loss by memorizing an image-independent box prior
     # instead of reading the image (bbox AP ~0 on the overfit demo).
     box_attn_bias: bool = True
+    # dense mode: per-head attention centroid/spread readout feeding a
+    # zero-init geometry head that refines the reference boxes. Attention
+    # output is a convex combination of position-free value features, so
+    # the box head cannot recover WHERE the attended mass was (the classic
+    # DETR slow-box-convergence pathology that deformable attention — the
+    # reference decoder's cross-attention — was invented to fix); the
+    # readout restores a directly-decodable geometric signal.
+    geo_readout: bool = True
     dtype: jnp.dtype = jnp.float32
     core_fn: Optional[DeformCoreFn] = None
 
@@ -220,9 +228,11 @@ class MaskDINODecoder(nn.Module):
         return cls, masks
 
     @staticmethod
-    def _refine_boxes(heads, x, ref):
+    def _refine_boxes(heads, x, ref, geo_delta=None):
         norm, _, _, box_h = heads
         delta = box_h(norm(x).astype(jnp.float32))
+        if geo_delta is not None:
+            delta = delta + geo_delta
         return jax.nn.sigmoid(delta + inverse_sigmoid(ref))
 
     @nn.compact
@@ -348,6 +358,12 @@ class MaskDINODecoder(nn.Module):
 
         ref_pos_head = MLPHead(c, c, 2, dtype=self.dtype,
                                name="ref_point_head")
+        geo_head = None
+        if self.cross_attention == "dense" and self.geo_readout:
+            # shared across layers like box_embed; zero-init so refinement
+            # starts exactly at the reference boxes
+            geo_head = MLPHead(64, 4, 2, dtype=jnp.float32, zero_last=True,
+                               name="geo_box_head")
         kpos = None
         key_xy = None
         if self.cross_attention == "dense":
@@ -374,6 +390,7 @@ class MaskDINODecoder(nn.Module):
                 x + qpos, x + qpos, x, attn_bias)
             x = LayerNorm(dtype=self.dtype, name=f"layer{li}_norm1")(x + y)
 
+            geo = None
             if self.cross_attention == "dense":
                 xbias = None
                 if self.box_attn_bias:
@@ -383,7 +400,10 @@ class MaskDINODecoder(nn.Module):
                     xbias = box_gaussian_bias(key_xy, refs, log_s)
                 y = MultiheadAttention(c, self.num_heads, dtype=self.dtype,
                                        name=f"layer{li}_cross_attn")(
-                    x + qpos, value + kpos, value, xbias)
+                    x + qpos, value + kpos, value, xbias,
+                    key_xy=key_xy if geo_head is not None else None)
+                if geo_head is not None:
+                    y, geo = y
             else:
                 ref4 = jnp.broadcast_to(
                     refs[:, :, None, :],
@@ -401,7 +421,19 @@ class MaskDINODecoder(nn.Module):
                          name=f"layer{li}_ffn2")(nn.relu(y))
             x = LayerNorm(dtype=self.dtype, name=f"layer{li}_norm3")(x + y)
 
-            new_refs = self._refine_boxes(heads, x, refs)
+            geo_delta = None
+            if geo is not None:
+                # geometry relative to the current reference box, f32:
+                # per-head centroid offset and spread in box-size units
+                wh = jnp.maximum(refs[..., 2:], 0.02)          # (B, Q, 2)
+                rel_c = (geo[..., :2] - refs[..., None, :2]) / wh[..., None, :]
+                rel_s = geo[..., 2:] / wh[..., None, :]
+                feats = jnp.concatenate(
+                    [jnp.clip(rel_c, -8.0, 8.0),
+                     jnp.log(jnp.clip(rel_s, 1e-3, 1e3))], -1)
+                geo_delta = geo_head(feats.reshape(feats.shape[0],
+                                                   feats.shape[1], -1))
+            new_refs = self._refine_boxes(heads, x, refs, geo_delta)
             if aux_masks or li == self.dec_layers - 1:
                 cls_l, masks_l = self._predict(heads, x, mask_features)
                 mask_list.append(masks_l)
@@ -497,4 +529,5 @@ def build_maskdino_decoder(cfg, dtype=jnp.float32,
         semantic_ce_loss=md.SEMANTIC_CE_LOSS,
         cross_attention=md.get("CROSS_ATTENTION", "deformable"),
         box_attn_bias=bool(md.get("BOX_ATTN_BIAS", True)),
+        geo_readout=bool(md.get("GEO_READOUT", True)),
         dtype=dtype, core_fn=core_fn)

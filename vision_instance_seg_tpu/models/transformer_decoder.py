@@ -29,14 +29,24 @@ from vision_instance_seg_tpu.models.layers import (
 
 
 class MultiheadAttention(nn.Module):
-    """Explicit q/k/v multi-head attention with additive bias support."""
+    """Explicit q/k/v multi-head attention with additive bias support.
+
+    ``key_xy`` (K, 2): optional normalized key coordinates. When given, the
+    call also returns a per-head geometry readout of the attention
+    distribution — centroid E[xy] and spread sqrt(Var[xy]) per head,
+    (B, Q, nH, 4) f32. Attention output is a convex combination of
+    position-FREE value features, so downstream regression heads cannot
+    recover where the attended mass was; the readout restores that signal
+    (two extra (Q, K) x (K, 2) matmuls — negligible next to the (Q, K) x
+    (K, hd) value matmul)."""
 
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v, attn_bias: Optional[jnp.ndarray] = None):
+    def __call__(self, q, k, v, attn_bias: Optional[jnp.ndarray] = None,
+                 key_xy: Optional[jnp.ndarray] = None):
         # q: (B, Q, C), k/v: (B, K, C); attn_bias: (B, nH, Q, K) additive
         b, nq, c = q.shape
         nh = self.num_heads
@@ -55,7 +65,15 @@ class MultiheadAttention(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp,
                          preferred_element_type=jnp.float32)
         out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, nq, c)
-        return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+        out = nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+        if key_xy is None:
+            return out
+        a32 = attn.astype(jnp.float32)
+        cen = jnp.einsum("bhqk,kc->bhqc", a32, key_xy)
+        sq = jnp.einsum("bhqk,kc->bhqc", a32, key_xy * key_xy)
+        sd = jnp.sqrt(jnp.maximum(sq - cen * cen, 1e-8))
+        geo = jnp.concatenate([cen, sd], -1).transpose(0, 2, 1, 3)
+        return out, geo
 
 
 class MLPHead(nn.Module):
