@@ -309,8 +309,8 @@ class TestGeoReadout:
         want = np.asarray(key_xy)[np.asarray(target)[0]]      # (3, 2)
         np.testing.assert_allclose(np.asarray(geo[0, :, 0, :2]), want,
                                    atol=1e-5)
-        # delta distribution -> zero spread (up to the 1e-8 floor)
-        assert float(geo[0, :, :, 2:].max()) < 1e-3
+        # delta distribution -> zero spread (up to the 1e-6 epsilon)
+        assert float(geo[0, :, :, 2:].max()) < 2e-3
         # uniform distribution -> centroid == mean of key_xy
         out2, geo2 = mha.apply(params, q, kv, kv, None, key_xy)
         np.testing.assert_allclose(np.asarray(geo2[0, 0, 0, :2]),

@@ -71,7 +71,9 @@ class MultiheadAttention(nn.Module):
         a32 = attn.astype(jnp.float32)
         cen = jnp.einsum("bhqk,kc->bhqc", a32, key_xy)
         sq = jnp.einsum("bhqk,kc->bhqc", a32, key_xy * key_xy)
-        sd = jnp.sqrt(jnp.maximum(sq - cen * cen, 1e-8))
+        # +1e-6 (not a max floor): bounds d(sqrt)/d(var) at 500 when the
+        # attention collapses to a delta instead of spiking at 1/(2*sqrt(eps))
+        sd = jnp.sqrt(jnp.maximum(sq - cen * cen, 0.0) + 1e-6)
         geo = jnp.concatenate([cen, sd], -1).transpose(0, 2, 1, 3)
         return out, geo
 
