@@ -320,13 +320,13 @@ class TestGeoReadout:
         cfg = tiny_dino_cfg()
         cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
         cfg.MODEL.MASK_DINO.TWO_STAGE = False
+        cfg.MODEL.MASK_DINO.GEO_READOUT = True
         _, params, _ = _init(cfg)
         pred = params["params"]["predictor"]
         assert "geo_box_head" in pred
-        # zero-init final layer: boxes at init identical to GEO_READOUT off
+        # default OFF (no measured gain, docs/PERF.md r3 ladder)
         cfg2 = tiny_dino_cfg()
         cfg2.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
         cfg2.MODEL.MASK_DINO.TWO_STAGE = False
-        cfg2.MODEL.MASK_DINO.GEO_READOUT = False
         _, params2, _ = _init(cfg2)
         assert "geo_box_head" not in params2["params"]["predictor"]

@@ -143,8 +143,10 @@ def get_cfg() -> CN:
     # dense cross-attention only: per-head attention centroid/spread readout
     # feeding a zero-init geometry head that refines the reference boxes —
     # restores the positional signal that position-free value features
-    # cannot carry (see models/maskdino_decoder.py geo_readout)
-    _C.MODEL.MASK_DINO.GEO_READOUT = True
+    # cannot carry. Default OFF: on the micro-overfit it did not recover
+    # bbox AP and cost segm AP (docs/PERF.md round-3 ladder) — the box
+    # bottleneck there is references far from objects, not the readout.
+    _C.MODEL.MASK_DINO.GEO_READOUT = False
     _C.MODEL.MASK_DINO.INITIALIZE_BOX_TYPE = "no"
     _C.MODEL.MASK_DINO.SEMANTIC_CE_LOSS = False
 

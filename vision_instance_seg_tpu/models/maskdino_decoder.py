@@ -186,8 +186,9 @@ class MaskDINODecoder(nn.Module):
     # the box head cannot recover WHERE the attended mass was (the classic
     # DETR slow-box-convergence pathology that deformable attention — the
     # reference decoder's cross-attention — was invented to fix); the
-    # readout restores a directly-decodable geometric signal.
-    geo_readout: bool = True
+    # readout restores a directly-decodable geometric signal. (Default off:
+    # no measured gain on the overfit demo — see docs/PERF.md r3 ladder.)
+    geo_readout: bool = False
     dtype: jnp.dtype = jnp.float32
     core_fn: Optional[DeformCoreFn] = None
 
@@ -529,5 +530,5 @@ def build_maskdino_decoder(cfg, dtype=jnp.float32,
         semantic_ce_loss=md.SEMANTIC_CE_LOSS,
         cross_attention=md.get("CROSS_ATTENTION", "deformable"),
         box_attn_bias=bool(md.get("BOX_ATTN_BIAS", True)),
-        geo_readout=bool(md.get("GEO_READOUT", True)),
+        geo_readout=bool(md.get("GEO_READOUT", False)),
         dtype=dtype, core_fn=core_fn)
