@@ -52,6 +52,10 @@ def main():
                     help="disable the dense-mode Gaussian box locality bias")
     ap.add_argument("--no-geo-readout", action="store_true",
                     help="disable the dense-mode attention-geometry box head")
+    ap.add_argument("--geo-readout", action="store_true",
+                    help="enable the dense-mode attention-geometry box head")
+    ap.add_argument("--box-cost", type=float, default=1.0,
+                    help="scale on box L1/GIoU terms in the MATCHING cost")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (JAX_PLATFORMS env is not "
                          "honored here — the axon TPU plugin pre-registers "
@@ -84,7 +88,9 @@ def main():
         cfg.MODEL.MASK_DINO.ENABLED = True
         cfg.MODEL.MASK_DINO.CROSS_ATTENTION = args.cross
         cfg.MODEL.MASK_DINO.BOX_ATTN_BIAS = not args.no_box_bias
-        cfg.MODEL.MASK_DINO.GEO_READOUT = not args.no_geo_readout
+        cfg.MODEL.MASK_DINO.GEO_READOUT = (args.geo_readout
+                                           and not args.no_geo_readout)
+        cfg.MODEL.MASK_DINO.BOX_COST_IN_MATCH = args.box_cost
         cfg.MODEL.MASK_DINO.DN_NUM = args.dn_num
         # MaskDINO base yaml class weight (4.0 vs Mask2Former's 2.0)
         cfg.MODEL.MASK_FORMER.CLASS_WEIGHT = 4.0

@@ -330,3 +330,35 @@ class TestGeoReadout:
         cfg2.MODEL.MASK_DINO.TWO_STAGE = False
         _, params2, _ = _init(cfg2)
         assert "geo_box_head" not in params2["params"]["predictor"]
+
+
+def test_box_cost_in_match_scale():
+    """BOX_COST_IN_MATCH scales box L1/GIoU in the MATCHING cost only.
+
+    Untrained box heads make box costs pure noise at weight 5+2; they then
+    dominate mask/cls costs, the assignment churns, and churned queries
+    collapse onto one union-of-GTs mask (observed on the overfit demo).
+    With scale 0 the matcher must follow the mask evidence."""
+    from vision_instance_seg_tpu.models.criterion_dino import (
+        DinoCriterionConfig, dino_hungarian_match)
+
+    # one GT, two queries. Query 0: (mildly) right mask, far box.
+    # Query 1: (mildly) wrong mask, exact box. Mask margin is kept small so
+    # parity-weight box costs (L1 ~1.1 x 5 + GIoU x 2) dominate it.
+    p = 16
+    cls = jnp.zeros((1, 2, 1))
+    gt_pts = jnp.ones((1, 1, p))                 # binary point targets
+    pred_pts = jnp.stack([jnp.ones((p,)) * 1.0,
+                          jnp.ones((p,)) * -1.0])[None]
+    gt_box = jnp.asarray([[[0.5, 0.5, 0.2, 0.2]]])
+    pred_box = jnp.asarray([[[0.1, 0.1, 0.05, 0.05],
+                             [0.5, 0.5, 0.2, 0.2]]])
+    valid = jnp.ones((1, 1), bool)
+    cc0 = DinoCriterionConfig(matcher="hungarian", box_cost_in_match=0.0)
+    cc1 = DinoCriterionConfig(matcher="hungarian", box_cost_in_match=1.0)
+    m0 = dino_hungarian_match(cls, pred_pts, gt_pts, pred_box, gt_box,
+                              jnp.zeros((1, 1), jnp.int32), valid, cc0)
+    m1 = dino_hungarian_match(cls, pred_pts, gt_pts, pred_box, gt_box,
+                              jnp.zeros((1, 1), jnp.int32), valid, cc1)
+    assert int(m0[0, 0]) == 0      # mask evidence wins
+    assert int(m1[0, 0]) == 1      # box costs dominate at parity weights

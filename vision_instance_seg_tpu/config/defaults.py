@@ -149,6 +149,11 @@ def get_cfg() -> CN:
     _C.MODEL.MASK_DINO.GEO_READOUT = False
     _C.MODEL.MASK_DINO.INITIALIZE_BOX_TYPE = "no"
     _C.MODEL.MASK_DINO.SEMANTIC_CE_LOSS = False
+    # scale on the box L1/GIoU terms in the Hungarian MATCHING cost only
+    # (the box losses themselves are unaffected). 1.0 = reference parity;
+    # 0.0 matches with mask+cls costs only (Mask2Former-style). See
+    # models/criterion_dino.py DinoCriterionConfig.box_cost_in_match.
+    _C.MODEL.MASK_DINO.BOX_COST_IN_MATCH = 1.0
 
     # ----------------------------------------------------------------- INPUT
     _C.INPUT = CN()

@@ -49,6 +49,14 @@ class DinoCriterionConfig(NamedTuple):
     # see criterion.CriterionConfig: TPU-fast variants vs reference parity
     matcher: str = "hungarian"
     point_mode: str = "random"
+    # scale on the box L1/GIoU terms in the MATCHING cost only (losses are
+    # unaffected). While the box head is untrained its costs are noise at
+    # weight 5+2 — they dominate the mask/cls costs, the assignment churns,
+    # and a churned query's dice-optimal mask is the fuzzy UNION of the GTs
+    # (observed on the overfit demo: the top-6 detections shared one
+    # identical union mask). Mask2Former's matcher has no box costs, which
+    # is why it never collapses this way. 1.0 = reference parity.
+    box_cost_in_match: float = 1.0
 
 
 def dino_criterion_config_from_cfg(cfg) -> DinoCriterionConfig:
@@ -64,7 +72,9 @@ def dino_criterion_config_from_cfg(cfg) -> DinoCriterionConfig:
         semantic_ce_loss=cfg.MODEL.MASK_DINO.SEMANTIC_CE_LOSS,
         no_object_weight=m.NO_OBJECT_WEIGHT,
         matcher=m.get("MATCHER", "hungarian"),
-        point_mode=m.get("POINT_MODE", "random"))
+        point_mode=m.get("POINT_MODE", "random"),
+        box_cost_in_match=float(
+            cfg.MODEL.MASK_DINO.get("BOX_COST_IN_MATCH", 1.0)))
 
 
 def sigmoid_focal_loss(logits, targets, alpha: float, gamma: float):
@@ -116,9 +126,10 @@ def dino_hungarian_match(cls_logits, pred_pts, gt_pts, pred_boxes, gt_boxes,
         c_l1 = jnp.abs(pr_box[:, None] - g_box[None]).sum(-1)
         c_giou = -generalized_box_iou(box_cxcywh_to_xyxy(pr_box),
                                       box_cxcywh_to_xyxy(g_box))
+        bs = cc.box_cost_in_match
         cost = (cc.class_weight * c_class + cc.mask_weight * c_mask
-                + cc.dice_weight * c_dice + cc.box_weight * c_l1
-                + cc.giou_weight * c_giou)
+                + cc.dice_weight * c_dice + bs * cc.box_weight * c_l1
+                + bs * cc.giou_weight * c_giou)
         cost = jnp.where(valid[None, :], cost, _INVALID_COST)
         i, j = assign(cost.T, cc.matcher)
         return jnp.zeros((cost.shape[1],), jnp.int32).at[i].set(
