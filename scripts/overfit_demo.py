@@ -54,6 +54,12 @@ def main():
                     help="disable the dense-mode attention-geometry box head")
     ap.add_argument("--geo-readout", action="store_true",
                     help="enable the dense-mode attention-geometry box head")
+    ap.add_argument("--mask-bias", action="store_true",
+                    help="M2F-style mask-guided attention in the dense "
+                         "MaskDINO decoder (MODEL.MASK_DINO.MASK_ATTN_BIAS)")
+    ap.add_argument("--box-from-mask", action="store_true",
+                    help="derive eval boxes from predicted masks "
+                         "(MODEL.MASK_FORMER.TEST.BOX_FROM_MASK)")
     ap.add_argument("--box-cost", type=float, default=1.0,
                     help="scale on box L1/GIoU terms in the MATCHING cost")
     ap.add_argument("--cpu", action="store_true",
@@ -91,6 +97,7 @@ def main():
         cfg.MODEL.MASK_DINO.GEO_READOUT = (args.geo_readout
                                            and not args.no_geo_readout)
         cfg.MODEL.MASK_DINO.BOX_COST_IN_MATCH = args.box_cost
+        cfg.MODEL.MASK_DINO.MASK_ATTN_BIAS = args.mask_bias
         cfg.MODEL.MASK_DINO.DN_NUM = args.dn_num
         # MaskDINO base yaml class weight (4.0 vs Mask2Former's 2.0)
         cfg.MODEL.MASK_FORMER.CLASS_WEIGHT = 4.0
@@ -102,6 +109,7 @@ def main():
         cfg.MODEL.MASK_DINO.SEMANTIC_CE_LOSS = args.semantic_ce
         cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES = args.queries
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "window"
+    cfg.MODEL.MASK_FORMER.TEST.BOX_FROM_MASK = args.box_from_mask
     cfg.MODEL.MASK_FORMER.MATCHER = args.matcher
     cfg.MODEL.MASK_FORMER.POINT_MODE = args.points
     cfg.MODEL.MASK_FORMER.TRAIN_NUM_POINTS = 4096

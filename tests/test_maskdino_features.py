@@ -332,6 +332,67 @@ class TestGeoReadout:
         assert "geo_box_head" not in params2["params"]["predictor"]
 
 
+@pytest.mark.slow
+class TestMaskAttnBias:
+    """Mask-guided attention in the dense MaskDINO decoder (MASK_ATTN_BIAS):
+    Mask2Former-style — threshold the current predicted mask at each level
+    and mask attention outside it (additive -1e9, per-level empty-mask
+    fallback). Ties the locality prior to the mask pathway (which learns at
+    small data scale) instead of the reference box (docs/PERF.md r3 ladder).
+    Reference analog: Mask2Former's attn_mask from outputs_mask."""
+
+    def _cfg(self, mask_bias):
+        cfg = tiny_dino_cfg()
+        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
+        cfg.MODEL.MASK_DINO.TWO_STAGE = False
+        cfg.MODEL.MASK_DINO.MASK_ATTN_BIAS = mask_bias
+        return cfg
+
+    def test_forward_finite_and_changes_attention(self):
+        from vision_instance_seg_tpu.models import build_model
+        model_on, params, x = _init(self._cfg(True))
+        out_on = model_on.apply(params, x)
+        assert np.isfinite(np.asarray(out_on["pred_masks"])).all()
+        assert np.isfinite(np.asarray(out_on["pred_logits"])).all()
+        # no new params: the flag-off model accepts the same tree...
+        model_off = build_model(self._cfg(False))
+        out_off = model_off.apply(params, x)
+        # ...and the bias actually gates attention (outputs differ)
+        assert not np.allclose(np.asarray(out_on["pred_masks"]),
+                               np.asarray(out_off["pred_masks"]))
+
+    def test_trains(self):
+        from vision_instance_seg_tpu.engine.solver import make_optimizer
+        from vision_instance_seg_tpu.engine.trainer import (
+            TrainState, make_train_step)
+        cfg = self._cfg(True)
+        model, params, _ = _init(cfg)
+        tx = make_optimizer(cfg, params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params))
+        step = make_train_step(cfg, model, tx)
+        masks = np.zeros((1, 4, 64, 64), np.uint8)
+        masks[:, 0, 8:32, 8:32] = 1
+        batch = {"image": jnp.full((1, 64, 64, 3), 128.0),
+                 "gt_classes": jnp.zeros((1, 4), jnp.int32),
+                 "gt_boxes": jnp.asarray([[[8, 8, 32, 32]] * 4], jnp.float32),
+                 "gt_masks": jnp.asarray(masks),
+                 "num_instances": jnp.ones((1,), jnp.int32)}
+        _, logs = step(state, batch, jax.random.key(0))
+        assert np.isfinite(float(logs["loss_total"]))
+
+
+def test_box_from_mask_config_gate():
+    """TEST.BOX_FROM_MASK defaults off (reference parity: MaskDINO reports
+    its regressed boxes); when on, COCOEvaluator drops the box-head boxes so
+    postprocess_instances derives bbox from the mask RLE (small-data knob,
+    docs/PERF.md r3 ladder: mask-derived boxes score bbox AP50 36.6 where
+    regressed boxes score ~0)."""
+    from vision_instance_seg_tpu.config import get_cfg
+    cfg = get_cfg()
+    assert cfg.MODEL.MASK_FORMER.TEST.BOX_FROM_MASK is False
+
+
 def test_box_cost_in_match_scale():
     """BOX_COST_IN_MATCH scales box L1/GIoU in the MATCHING cost only.
 

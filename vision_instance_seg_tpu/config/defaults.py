@@ -120,6 +120,13 @@ def get_cfg() -> CN:
     _C.MODEL.MASK_FORMER.TEST.OBJECT_MASK_THRESHOLD = 0.0
     _C.MODEL.MASK_FORMER.TEST.OVERLAP_THRESHOLD = 0.0
     _C.MODEL.MASK_FORMER.TEST.SEM_SEG_POSTPROCESSING_BEFORE_INFERENCE = False
+    # derive eval/serving boxes from the predicted masks (tight box around
+    # mask > 0.5) instead of the box head. Off = reference parity (MaskDINO
+    # reports its regressed boxes). At small data scales the mask pathway
+    # localizes long before box regression does: the M2F control (whose
+    # boxes are mask-derived by construction) scores bbox AP50 36.6 on the
+    # micro-overfit where regressed boxes score ~0 (docs/PERF.md r3 ladder).
+    _C.MODEL.MASK_FORMER.TEST.BOX_FROM_MASK = False
 
     # MaskDINO-specific (reference MaskDINO config: denoising + boxes + two-stage)
     _C.MODEL.MASK_DINO = CN()
@@ -147,6 +154,14 @@ def get_cfg() -> CN:
     # bbox AP and cost segm AP (docs/PERF.md round-3 ladder) — the box
     # bottleneck there is references far from objects, not the readout.
     _C.MODEL.MASK_DINO.GEO_READOUT = False
+    # dense cross-attention only: Mask2Former-style mask-guided attention —
+    # threshold the PREVIOUS layer's predicted mask at each level's
+    # resolution and mask attention outside it (additive -1e9, empty-mask
+    # fallback per level). Locality rides the mask pathway (which learns at
+    # small data scale) instead of the reference box (which doesn't): the
+    # M2F micro control scores segm 50.5 where the best box-biased dense
+    # variant scores 40.6 (docs/PERF.md round-3 ladder).
+    _C.MODEL.MASK_DINO.MASK_ATTN_BIAS = False
     _C.MODEL.MASK_DINO.INITIALIZE_BOX_TYPE = "no"
     _C.MODEL.MASK_DINO.SEMANTIC_CE_LOSS = False
     # scale on the box L1/GIoU terms in the Hungarian MATCHING cost only

@@ -226,6 +226,11 @@ class COCOEvaluator:
                             batch_size=int(cfg.TEST.get("BATCH_SIZE", 1)))
         canvas_h, canvas_w = cfg.INPUT.TEST_PAD_H, cfg.INPUT.TEST_PAD_W
         fast = bool(cfg.TEST.get("FAST_POSTPROCESS", True))
+        # derive bbox results from the mask RLE (postprocess_instances'
+        # boxes=None branch) instead of the box head; small-data knob,
+        # see config/defaults.py TEST.BOX_FROM_MASK
+        box_from_mask = bool(cfg.MODEL.MASK_FORMER.TEST.get(
+            "BOX_FROM_MASK", False))
         results: List[dict] = []
         t0 = time.time()
         n_images = 0
@@ -264,7 +269,8 @@ class COCOEvaluator:
                     vh, vw, canvas_h, canvas_w, oh, ow,
                     int(batch["image_id"][b]), self.category_ids,
                     thresh,
-                    boxes=small["boxes"][b] if "boxes" in small else None,
+                    boxes=small["boxes"][b]
+                    if "boxes" in small and not box_from_mask else None,
                     mask_boxes=small.get("mask_boxes", [None])[b]
                     if "mask_boxes" in small else None,
                     fast=fast))

@@ -180,6 +180,16 @@ class MaskDINODecoder(nn.Module):
     # minimizes its loss by memorizing an image-independent box prior
     # instead of reading the image (bbox AP ~0 on the overfit demo).
     box_attn_bias: bool = True
+    # dense mode: Mask2Former-style mask-guided attention — threshold the
+    # current predicted mask at each level's resolution and mask attention
+    # outside it (additive -1e9, per-level empty-mask fallback). Ties the
+    # locality prior to the mask pathway (which learns at small data
+    # scales) instead of the reference box (which doesn't): the M2F
+    # control's mask-anchored attention scores segm 50.5 on the micro-
+    # overfit vs 40.6 for the best box-biased dense variant (docs/PERF.md).
+    # Reference analog: Mask2Former's attn_mask from outputs_mask
+    # (mask2former/modeling/transformer_decoder/mask2former_transformer_decoder.py).
+    mask_attn_bias: bool = False
     # dense mode: per-head attention centroid/spread readout feeding a
     # zero-init geometry head that refines the reference boxes. Attention
     # output is a convex combination of position-free value features, so
@@ -382,6 +392,17 @@ class MaskDINODecoder(nn.Module):
                 kxy.append(jnp.stack([px.reshape(-1), py.reshape(-1)], -1))
             kpos = jnp.concatenate(kp, axis=0)[None]     # (1, S, C)
             key_xy = jnp.concatenate(kxy, axis=0)        # (S, 2) f32
+        mf_levels = None
+        if self.cross_attention == "dense" and self.mask_attn_bias:
+            # per-level downsampled mask FEATURES: the level-resolution mask
+            # logit is then one small einsum per layer (resize is linear in
+            # the features, so this equals resizing the full-res logits —
+            # see transformer_decoder._attn_mask_from_features)
+            mf_levels = [jax.image.resize(
+                mask_features,
+                (b, h, w, mask_features.shape[-1]),
+                method="bilinear").astype(self.dtype)
+                for (h, w) in shapes]
         for li in range(self.dec_layers):
             # query pos embedding from current reference boxes (sine of 4d)
             qpos = ref_pos_head(_box_pos_embed(refs, c).astype(self.dtype))
@@ -399,6 +420,24 @@ class MaskDINODecoder(nn.Module):
                                        nn.initializers.zeros, (2,),
                                        jnp.float32)
                     xbias = box_gaussian_bias(key_xy, refs, log_s)
+                if mf_levels is not None:
+                    # mask-guided attention: threshold the CURRENT mask
+                    # prediction (from the post-self-attn query state) at
+                    # each level; a query empty at a level attends that
+                    # whole level (M2F's empty-mask fallback)
+                    norm_h, _, mask_h, _ = heads
+                    emb = mask_h(norm_h(x))
+                    keeps = []
+                    for mf in mf_levels:
+                        ml = jnp.einsum("bqc,bhwc->bqhw", emb, mf,
+                                        preferred_element_type=jnp.float32)
+                        k = (ml > 0.0).reshape(ml.shape[0], ml.shape[1], -1)
+                        any_k = jnp.any(k, axis=-1, keepdims=True)
+                        keeps.append(jnp.where(any_k, k, True))
+                    keep = jnp.concatenate(keeps, axis=-1)   # (B, Qt, S)
+                    mbias = jnp.where(keep, 0.0, -1e9
+                                      ).astype(jnp.float32)[:, None]
+                    xbias = mbias if xbias is None else xbias + mbias
                 y = MultiheadAttention(c, self.num_heads, dtype=self.dtype,
                                        name=f"layer{li}_cross_attn")(
                     x + qpos, value + kpos, value, xbias,
@@ -530,5 +569,6 @@ def build_maskdino_decoder(cfg, dtype=jnp.float32,
         semantic_ce_loss=md.SEMANTIC_CE_LOSS,
         cross_attention=md.get("CROSS_ATTENTION", "deformable"),
         box_attn_bias=bool(md.get("BOX_ATTN_BIAS", True)),
+        mask_attn_bias=bool(md.get("MASK_ATTN_BIAS", False)),
         geo_readout=bool(md.get("GEO_READOUT", False)),
         dtype=dtype, core_fn=core_fn)
