@@ -104,6 +104,43 @@ def test_dispatch_falls_back_for_free_queries():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_hybrid_dispatch_reassembles_level_order(monkeypatch):
+    """The TPU hybrid dispatch (fine query levels -> Pallas, levels of
+    <= ONEHOT_QMAX tokens -> one-hot core) must reassemble the per-level
+    outputs in the ORIGINAL level order. Forced onto the CPU backend by
+    monkeypatching the backend check and routing the Pallas branch through
+    interpret mode — an interleave bug here would silently corrupt every
+    4-scale TPU forward."""
+    from vision_instance_seg_tpu.kernels import msdeform_attn as K
+
+    value, loc, aw = _inputs(5)
+    want = ms_deform_attn_core_jnp(value, SHAPES, loc, aw)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # splits are 64/16/4: QMAX 8 -> fine = levels 0,1; coarse = level 2
+    monkeypatch.setattr(K, "ONEHOT_QMAX", 8)
+    calls = []
+
+    def fake_pallas_diff(v, shapes, query_levels, l, a):
+        calls.append(tuple(query_levels))
+        return K.ms_deform_attn_encoder_pallas(
+            v, shapes, l, a, interpret=True, query_levels=query_levels)
+
+    monkeypatch.setattr(K, "_encoder_pallas_diff", fake_pallas_diff)
+    got = K.fused_ms_deform_attn(value, SHAPES, loc, aw)
+    assert calls == [(0, 1)]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # all levels coarse -> pure one-hot core, still exact
+    monkeypatch.setattr(K, "ONEHOT_QMAX", 64)
+    calls.clear()
+    got2 = K.fused_ms_deform_attn(value, SHAPES, loc, aw)
+    assert calls == []
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_onehot_core_matches_jnp_arbitrary_offsets():
     """The one-hot free-query core is exact for ARBITRARY offsets — wide
     (beyond any halo), out-of-map, and off-grid — and its XLA gradient
