@@ -62,6 +62,10 @@ def main():
                          "(MODEL.MASK_FORMER.TEST.BOX_FROM_MASK)")
     ap.add_argument("--box-cost", type=float, default=1.0,
                     help="scale on box L1/GIoU terms in the MATCHING cost")
+    ap.add_argument("--box-loss-weight", type=float, default=1.0,
+                    help="scale on the box L1/GIoU LOSS weights (0 = "
+                         "mask-only MaskDINO, isolates whether box-loss "
+                         "gradients dilute the shared trunk)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (JAX_PLATFORMS env is not "
                          "honored here — the axon TPU plugin pre-registers "
@@ -97,6 +101,8 @@ def main():
         cfg.MODEL.MASK_DINO.GEO_READOUT = (args.geo_readout
                                            and not args.no_geo_readout)
         cfg.MODEL.MASK_DINO.BOX_COST_IN_MATCH = args.box_cost
+        cfg.MODEL.MASK_FORMER.BOX_WEIGHT *= args.box_loss_weight
+        cfg.MODEL.MASK_FORMER.GIOU_WEIGHT *= args.box_loss_weight
         cfg.MODEL.MASK_DINO.MASK_ATTN_BIAS = args.mask_bias
         cfg.MODEL.MASK_DINO.DN_NUM = args.dn_num
         # MaskDINO base yaml class weight (4.0 vs Mask2Former's 2.0)

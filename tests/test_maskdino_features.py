@@ -266,6 +266,7 @@ class TestBoxAttnBias:
         b0 = np.asarray(box_gaussian_bias(key_xy, refs0, jnp.zeros(2)))
         assert np.isfinite(b0).all() and b0.min() > -1e4
 
+    @pytest.mark.slow
     def test_param_gated_by_config(self):
         cfg = tiny_dino_cfg()
         cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
@@ -316,6 +317,7 @@ class TestGeoReadout:
         np.testing.assert_allclose(np.asarray(geo2[0, 0, 0, :2]),
                                    np.asarray(key_xy).mean(0), atol=1e-5)
 
+    @pytest.mark.slow
     def test_zero_init_is_noop_and_param_gated(self):
         cfg = tiny_dino_cfg()
         cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"

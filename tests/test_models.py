@@ -212,6 +212,7 @@ class TestCriterion:
         assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 class TestFullAttentionEncoder:
     def test_forward_matches_shapes(self):
         """ENCODER_ATTENTION=full produces the same output structure."""
@@ -448,6 +449,7 @@ class TestRemat:
         np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
 
 
+@pytest.mark.slow
 class TestMaskDINODenseCrossAttn:
     def test_forward_matches_shapes(self):
         from vision_instance_seg_tpu.models import build_model, normalize_image
@@ -552,6 +554,7 @@ class TestMaskDINO:
         assert out["mask_probs"].shape == (1, 8, 16, 16)
 
 
+@pytest.mark.slow
 class TestLeanServingPath:
     """aux_masks=False (the serving config, make_inference_fn) must return
     the SAME final-layer predictions as the training forward: M2F attention

@@ -141,6 +141,7 @@ def test_hybrid_dispatch_reassembles_level_order(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_onehot_core_matches_jnp_arbitrary_offsets():
     """The one-hot free-query core is exact for ARBITRARY offsets — wide
     (beyond any halo), out-of-map, and off-grid — and its XLA gradient

@@ -110,6 +110,7 @@ def synth_torchvision_r50(rng):
     return sd
 
 
+@pytest.mark.slow
 class TestResNetImport:
     def test_full_import_and_forward(self, rng, tmp_path):
         from vision_instance_seg_tpu.models.resnet import ResNet
