@@ -62,6 +62,9 @@ def main():
                          "(MODEL.MASK_FORMER.TEST.BOX_FROM_MASK)")
     ap.add_argument("--box-cost", type=float, default=1.0,
                     help="scale on box L1/GIoU terms in the MATCHING cost")
+    ap.add_argument("--level-cycle", action="store_true",
+                    help="M2F-style per-layer level round-robin in the "
+                         "dense MaskDINO decoder (DENSE_LEVEL_CYCLE)")
     ap.add_argument("--box-loss-weight", type=float, default=1.0,
                     help="scale on the box L1/GIoU LOSS weights (0 = "
                          "mask-only MaskDINO, isolates whether box-loss "
@@ -104,6 +107,7 @@ def main():
         cfg.MODEL.MASK_FORMER.BOX_WEIGHT *= args.box_loss_weight
         cfg.MODEL.MASK_FORMER.GIOU_WEIGHT *= args.box_loss_weight
         cfg.MODEL.MASK_DINO.MASK_ATTN_BIAS = args.mask_bias
+        cfg.MODEL.MASK_DINO.DENSE_LEVEL_CYCLE = args.level_cycle
         cfg.MODEL.MASK_DINO.DN_NUM = args.dn_num
         # MaskDINO base yaml class weight (4.0 vs Mask2Former's 2.0)
         cfg.MODEL.MASK_FORMER.CLASS_WEIGHT = 4.0

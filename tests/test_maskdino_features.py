@@ -384,6 +384,32 @@ class TestMaskAttnBias:
         assert np.isfinite(float(logs["loss_total"]))
 
 
+@pytest.mark.slow
+class TestDenseLevelCycle:
+    """DENSE_LEVEL_CYCLE: M2F-style per-layer level round-robin in the
+    dense MaskDINO decoder — layer li attends only level (li % num_levels),
+    coarse-to-fine. ~num_levels x fewer cross-attention keys per layer;
+    reference analog: level_index = i % num_feature_levels in
+    mask2former_transformer_decoder.py."""
+
+    def test_forward_finite_and_changes_attention(self):
+        from vision_instance_seg_tpu.models import build_model
+        cfg = tiny_dino_cfg()
+        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
+        cfg.MODEL.MASK_DINO.TWO_STAGE = False
+        cfg.MODEL.MASK_DINO.DENSE_LEVEL_CYCLE = True
+        model_on, params, x = _init(cfg)
+        out_on = model_on.apply(params, x)
+        assert np.isfinite(np.asarray(out_on["pred_masks"])).all()
+        # no new params; restricting keys changes the outputs
+        cfg2 = tiny_dino_cfg()
+        cfg2.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
+        cfg2.MODEL.MASK_DINO.TWO_STAGE = False
+        out_off = build_model(cfg2).apply(params, x)
+        assert not np.allclose(np.asarray(out_on["pred_masks"]),
+                               np.asarray(out_off["pred_masks"]))
+
+
 def test_box_from_mask_config_gate():
     """TEST.BOX_FROM_MASK defaults off (reference parity: MaskDINO reports
     its regressed boxes); when on, COCOEvaluator drops the box-head boxes so

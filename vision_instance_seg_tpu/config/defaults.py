@@ -162,6 +162,13 @@ def get_cfg() -> CN:
     # M2F micro control scores segm 50.5 where the best box-biased dense
     # variant scores 40.6 (docs/PERF.md round-3 ladder).
     _C.MODEL.MASK_DINO.MASK_ATTN_BIAS = False
+    # dense cross-attention only: Mask2Former-style per-layer level
+    # round-robin — decoder layer li attends only feature level
+    # (li % num_levels), coarse-to-fine, instead of all multi-scale tokens
+    # at once. ~num_levels x fewer cross-attention keys per layer and the
+    # M2F attention schedule (reference analog: level_index = i %
+    # num_feature_levels in mask2former_transformer_decoder.py).
+    _C.MODEL.MASK_DINO.DENSE_LEVEL_CYCLE = False
     _C.MODEL.MASK_DINO.INITIALIZE_BOX_TYPE = "no"
     _C.MODEL.MASK_DINO.SEMANTIC_CE_LOSS = False
     # scale on the box L1/GIoU terms in the Hungarian MATCHING cost only

@@ -190,6 +190,17 @@ class MaskDINODecoder(nn.Module):
     # Reference analog: Mask2Former's attn_mask from outputs_mask
     # (mask2former/modeling/transformer_decoder/mask2former_transformer_decoder.py).
     mask_attn_bias: bool = False
+    # dense mode: Mask2Former-style per-layer level ROUND-ROBIN — decoder
+    # layer li cross-attends only feature level (li % num_levels), in the
+    # coarse-to-fine order the pixel decoder emits, instead of all ~13k
+    # multi-scale tokens at once. Cuts cross-attention keys ~num_levels x
+    # per layer AND reproduces M2F's coarse-to-fine attention schedule (the
+    # remaining structural difference after the r3 micro ladder eliminated
+    # box-loss dilution and mask gating as explanations for the M2F
+    # control's segm edge — docs/PERF.md). Reference analog: Mask2Former's
+    # `level_index = i % self.num_feature_levels`
+    # (mask2former_transformer_decoder.py forward).
+    dense_level_cycle: bool = False
     # dense mode: per-head attention centroid/spread readout feeding a
     # zero-init geometry head that refines the reference boxes. Attention
     # output is a convex combination of position-free value features, so
@@ -392,6 +403,7 @@ class MaskDINODecoder(nn.Module):
                 kxy.append(jnp.stack([px.reshape(-1), py.reshape(-1)], -1))
             kpos = jnp.concatenate(kp, axis=0)[None]     # (1, S, C)
             key_xy = jnp.concatenate(kxy, axis=0)        # (S, 2) f32
+            loffs = np.cumsum([0] + [h * w for h, w in shapes])
         mf_levels = None
         if self.cross_attention == "dense" and self.mask_attn_bias:
             # per-level downsampled mask FEATURES: the level-resolution mask
@@ -414,13 +426,24 @@ class MaskDINODecoder(nn.Module):
 
             geo = None
             if self.cross_attention == "dense":
+                if self.dense_level_cycle:
+                    # M2F-style round-robin: this layer attends ONE level,
+                    # coarse-to-fine in the pixel decoder's level order
+                    lv = li % len(shapes)
+                    val_l = value[:, loffs[lv]:loffs[lv + 1]]
+                    kpos_l = kp[lv][None]
+                    kxy_l = kxy[lv]
+                    mf_l = None if mf_levels is None else [mf_levels[lv]]
+                else:
+                    val_l, kpos_l = value, kpos
+                    kxy_l, mf_l = key_xy, mf_levels
                 xbias = None
                 if self.box_attn_bias:
                     log_s = self.param(f"layer{li}_xattn_log_sigma",
                                        nn.initializers.zeros, (2,),
                                        jnp.float32)
-                    xbias = box_gaussian_bias(key_xy, refs, log_s)
-                if mf_levels is not None:
+                    xbias = box_gaussian_bias(kxy_l, refs, log_s)
+                if mf_l is not None:
                     # mask-guided attention: threshold the CURRENT mask
                     # prediction (from the post-self-attn query state) at
                     # each level; a query empty at a level attends that
@@ -428,20 +451,20 @@ class MaskDINODecoder(nn.Module):
                     norm_h, _, mask_h, _ = heads
                     emb = mask_h(norm_h(x))
                     keeps = []
-                    for mf in mf_levels:
+                    for mf in mf_l:
                         ml = jnp.einsum("bqc,bhwc->bqhw", emb, mf,
                                         preferred_element_type=jnp.float32)
                         k = (ml > 0.0).reshape(ml.shape[0], ml.shape[1], -1)
                         any_k = jnp.any(k, axis=-1, keepdims=True)
                         keeps.append(jnp.where(any_k, k, True))
-                    keep = jnp.concatenate(keeps, axis=-1)   # (B, Qt, S)
+                    keep = jnp.concatenate(keeps, axis=-1)   # (B, Qt, S_l)
                     mbias = jnp.where(keep, 0.0, -1e9
                                       ).astype(jnp.float32)[:, None]
                     xbias = mbias if xbias is None else xbias + mbias
                 y = MultiheadAttention(c, self.num_heads, dtype=self.dtype,
                                        name=f"layer{li}_cross_attn")(
-                    x + qpos, value + kpos, value, xbias,
-                    key_xy=key_xy if geo_head is not None else None)
+                    x + qpos, val_l + kpos_l, val_l, xbias,
+                    key_xy=kxy_l if geo_head is not None else None)
                 if geo_head is not None:
                     y, geo = y
             else:
@@ -570,5 +593,6 @@ def build_maskdino_decoder(cfg, dtype=jnp.float32,
         cross_attention=md.get("CROSS_ATTENTION", "deformable"),
         box_attn_bias=bool(md.get("BOX_ATTN_BIAS", True)),
         mask_attn_bias=bool(md.get("MASK_ATTN_BIAS", False)),
+        dense_level_cycle=bool(md.get("DENSE_LEVEL_CYCLE", False)),
         geo_readout=bool(md.get("GEO_READOUT", False)),
         dtype=dtype, core_fn=core_fn)
