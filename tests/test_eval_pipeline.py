@@ -352,3 +352,148 @@ def test_inference_fn_sorted_uint8_and_prefix_fetch():
     for need in (0, 1, 5, full.shape[1]):
         got = _fetch_prefix(out["mask_probs"], 1, need)
         np.testing.assert_array_equal(got, full[1, :need])
+
+    # TEST.PATCH_POSTPROCESS (default on): per-instance patches emitted,
+    # uint8, and exactly equal to zero-padded slices of the quantized map
+    assert out["mask_patches"].dtype == jnp.uint8
+    p = int(cfg.TEST.PATCH_SIZE)
+    assert out["mask_patches"].shape == full.shape[:2] + (p, p)
+    origins = np.asarray(out["patch_origin"])
+    patches = np.asarray(out["mask_patches"])
+    for b in range(full.shape[0]):
+        for i in range(full.shape[1]):
+            x0p, y0p = origins[b, i]
+            want = np.zeros((p, p), np.uint8)
+            sl = full[b, i, y0p:y0p + p, x0p:x0p + p]
+            want[:sl.shape[0], :sl.shape[1]] = sl
+            np.testing.assert_array_equal(patches[b, i], want)
+
+
+def _blob_probs(specs, hm, wm):
+    yy, xx = np.mgrid[0:hm, 0:wm]
+    probs = np.zeros((len(specs), hm, wm), np.float32)
+    for i, (cy, cx, r) in enumerate(specs):
+        if r > 0:
+            d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+            probs[i] = 1.0 / (1.0 + np.exp((np.sqrt(d2) - r) * 1.5))
+    return probs
+
+
+def test_patch_postprocess_byte_identical():
+    """Device patch extraction + patch-sourced warp vs the full-map fast
+    path: RLE results must be byte-identical, including the footprint-
+    escape fallback (huge blob) and edge-touching boxes."""
+    import jax.numpy as jnp
+    from vision_instance_seg_tpu.engine.evaluator import (
+        postprocess_instances)
+    from vision_instance_seg_tpu.models.meta_arch import (
+        _extract_mask_patches, _mask_support_boxes)
+
+    hm = wm = 48
+    p = 16
+    specs = [(12, 15, 5),      # small, interior -> patch path
+             (24, 24, 20),     # huge -> footprint escapes -> fallback
+             (2, 2, 4),        # touches top-left edge (clamp equivalence)
+             (45, 45, 4),      # touches bottom-right edge
+             (0, 0, 0)]        # empty
+    probs = _blob_probs(specs, hm, wm)
+    u8 = np.round(probs * 255).astype(np.uint8)
+    scores = np.linspace(0.9, 0.5, len(specs)).astype(np.float32)
+    labels = np.zeros(len(specs), np.int64)
+    boxes = np.asarray(_mask_support_boxes(jnp.asarray(probs)))
+
+    origins, patches = map(np.asarray, _extract_mask_patches(
+        jnp.asarray(u8[None]), jnp.asarray(boxes[None]), p))
+    origins, patches = origins[0], patches[0]
+    # extraction golden: patch == zero-padded numpy slice of the map
+    for i in range(len(specs)):
+        x0p, y0p = origins[i]
+        want = np.zeros((p, p), np.uint8)
+        sl = u8[i, y0p:y0p + p, x0p:x0p + p]
+        want[:sl.shape[0], :sl.shape[1]] = sl
+        np.testing.assert_array_equal(patches[i], want, err_msg=f"inst {i}")
+
+    # full canvas valid so the edge-touching blobs survive the valid crop
+    common = dict(valid_h=48, valid_w=48, canvas_h=48, canvas_w=48,
+                  orig_h=70, orig_w=90, image_id=1, category_ids=[1])
+    full = postprocess_instances(u8, scores, labels, fast=True,
+                                 mask_boxes=boxes, **common)
+    fetched = []
+    via_patch = postprocess_instances(
+        None, scores, labels, fast=True, mask_boxes=boxes,
+        mask_patches=patches, patch_origins=origins, mask_hw=(hm, wm),
+        fetch_row=lambda i: (fetched.append(i), u8[i])[1], **common)
+    assert len(full) == len(via_patch) == 4
+    assert fetched == [1], "only the huge blob should fall back"
+    for a, b in zip(full, via_patch):
+        assert a["segmentation"] == b["segmentation"]
+        assert a["bbox"] == b["bbox"]
+        assert a["score"] == b["score"]
+
+
+def test_patch_postprocess_whole_map():
+    """Maps no larger than the patch ride the embedded-whole-map shortcut:
+    byte-identical with zero fallbacks."""
+    import jax.numpy as jnp
+    from vision_instance_seg_tpu.engine.evaluator import (
+        postprocess_instances)
+    from vision_instance_seg_tpu.models.meta_arch import (
+        _extract_mask_patches, _mask_support_boxes)
+
+    hm, wm, p = 12, 10, 16
+    probs = _blob_probs([(6, 5, 4), (2, 8, 2)], hm, wm)
+    u8 = np.round(probs * 255).astype(np.uint8)
+    scores = np.array([0.9, 0.8], np.float32)
+    labels = np.zeros(2, np.int64)
+    boxes = np.asarray(_mask_support_boxes(jnp.asarray(probs)))
+    origins, patches = map(np.asarray, _extract_mask_patches(
+        jnp.asarray(u8[None]), jnp.asarray(boxes[None]), p))
+    common = dict(valid_h=40, valid_w=44, canvas_h=48, canvas_w=48,
+                  orig_h=60, orig_w=66, image_id=1, category_ids=[1])
+    full = postprocess_instances(u8, scores, labels, fast=True,
+                                 mask_boxes=boxes, **common)
+    via_patch = postprocess_instances(
+        None, scores, labels, fast=True, mask_boxes=boxes,
+        mask_patches=patches[0], patch_origins=origins[0], mask_hw=(hm, wm),
+        fetch_row=lambda i: pytest.fail("no fallback expected"), **common)
+    assert [r["segmentation"] for r in full] == \
+        [r["segmentation"] for r in via_patch]
+
+
+def test_evaluator_patch_path_matches_full(mini_coco, eval_cfg):
+    """COCOEvaluator with a patch-emitting inference fn must produce
+    exactly the same metrics as the same fn without patches (the host
+    branch: patch prefix fetch, fit checks, fallback row fetches)."""
+    import jax.numpy as jnp
+    from vision_instance_seg_tpu.models.meta_arch import (
+        _extract_mask_patches, _mask_support_boxes)
+
+    dicts = _register(mini_coco, "mini_eval_patch")
+    cfg = eval_cfg
+    cfg.TEST.BATCH_SIZE = 2
+    max_inst = max(len(d["annotations"]) for d in dicts)
+
+    def with_boxes(base, patches):
+        def infer(params, images):
+            out = base(params, images)
+            probs = out["mask_probs"]
+            boxes = _mask_support_boxes(jnp.asarray(probs))
+            out["mask_boxes"] = np.asarray(boxes)
+            u8 = np.round(probs * 255).astype(np.uint8)
+            out["mask_probs"] = u8
+            if patches:
+                # p=8 << GT blob sizes: most instances fall back, a few fit
+                o, pt = _extract_mask_patches(jnp.asarray(u8), boxes, 8)
+                out["patch_origin"] = np.asarray(o)
+                out["mask_patches"] = np.asarray(pt)
+            return out
+        return infer
+
+    res_plain = COCOEvaluator("mini_eval_patch", cfg).evaluate(
+        with_boxes(_gt_oracle(dicts, cfg, max_inst), False), None)
+    res_patch = COCOEvaluator("mini_eval_patch", cfg).evaluate(
+        with_boxes(_gt_oracle(dicts, cfg, max_inst), True), None)
+    for task in ("bbox", "segm"):
+        for key, v in res_plain[task].items():
+            np.testing.assert_equal(res_patch[task][key], v)  # NaN-aware
+    assert res_patch["segm"]["AP50"] == pytest.approx(100.0, abs=1e-4)

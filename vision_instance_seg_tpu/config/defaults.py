@@ -252,6 +252,16 @@ def get_cfg() -> CN:
     # two-stage resize chain. ~equal AP (sub-pixel boundary differences
     # only, tested vs the parity chain); False restores the exact chain.
     _C.TEST.FAST_POSTPROCESS = True
+    # Device-side per-instance mask patches: each detection's support-box
+    # region is cropped into a fixed (PATCH_SIZE, PATCH_SIZE) uint8 patch
+    # on device (one-hot row/col selection matmuls — MXU work, no gathers)
+    # and the eval loop transfers patches instead of full (Hm, Wm) prob
+    # maps (~10x fewer D2H bytes/instance; this platform's tunnel moves
+    # ~50 ms/MB). Instances whose warp source footprint exceeds the patch
+    # fall back to a single-row fetch of the full map, so results stay
+    # byte-identical to PATCH_POSTPROCESS=False (tested).
+    _C.TEST.PATCH_POSTPROCESS = True
+    _C.TEST.PATCH_SIZE = 64
 
     # ------------------------------------------------------------------- TPU
     _C.TPU = CN()

@@ -58,6 +58,16 @@ def _fetch_prefix(mp, b: int, need: int) -> np.ndarray:
         [np.asarray(fetch(mp, b, j * chunk)) for j in range(n)])[:need]
 
 
+def _row_fetcher(mp, b: int):
+    """Lazy single-row D2H: ``i -> np (Hm, Wm)`` of device array mp[b, i]
+    (patch-postprocess fallback for instances that escape their patch)."""
+    if isinstance(mp, np.ndarray):
+        return lambda i: mp[b, i]
+    hm, wm = mp.shape[2:]
+    fetch = _chunk_fetcher(1, hm, wm)
+    return lambda i: np.asarray(fetch(mp, b, int(i)))[0]
+
+
 def _resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Bilinear resize HxW float array (cv2 if present, else PIL)."""
     try:
@@ -67,6 +77,91 @@ def _resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         from PIL import Image
         return np.asarray(Image.fromarray(arr).resize((out_w, out_h),
                                                       Image.BILINEAR))
+
+
+def _out_rect(qbox, sx: float, sy: float, orig_h: int, orig_w: int):
+    """Output rectangle (x0o, y0o, x1o, y1o) in the original-image frame
+    whose source footprint intersects support box ``qbox``; None when the
+    box or the rectangle is empty."""
+    x0q, y0q, x1q, y1q = (int(v) for v in qbox)
+    if x1q <= x0q or y1q <= y0q:
+        return None
+    x0o = max(0, int(np.floor((x0q - 0.5) / sx - 0.5)))
+    y0o = max(0, int(np.floor((y0q - 0.5) / sy - 0.5)))
+    x1o = min(orig_w, int(np.ceil((x1q + 0.5) / sx + 0.5)))
+    y1o = min(orig_h, int(np.ceil((y1q + 0.5) / sy + 0.5)))
+    if x1o <= x0o or y1o <= y0o:
+        return None
+    return x0o, y0o, x1o, y1o
+
+
+def _src_span(lo_o: int, hi_o: int, s: float):
+    """Integer source rows/cols the warp's bilinear kernel touches for
+    output span [lo_o, hi_o) at scale s, BEFORE edge clamping."""
+    lo = int(np.floor(s * (lo_o + 0.5) - 0.5))
+    hi = int(np.floor(s * (hi_o - 0.5) - 0.5)) + 1
+    return lo, hi
+
+
+def _patch_fits(qbox, origin, p: int, hm: int, wm: int, sx: float,
+                sy: float, orig_h: int, orig_w: int) -> bool:
+    """True iff warping from the device patch is byte-identical to warping
+    from the full (hm, wm) map: every source row/col the bilinear kernel
+    touches (after the full map's edge clamp) lies inside the patch, and
+    wherever the full map would clamp at an edge, the patch boundary IS
+    that map edge (so BORDER_REPLICATE replicates the same values)."""
+    if hm <= p and wm <= p:
+        return True                      # patch embeds the whole map
+    rect = _out_rect(qbox, sx, sy, orig_h, orig_w)
+    if rect is None:
+        return True                      # nothing to warp
+    x0o, y0o, x1o, y1o = rect
+    x0p, y0p = int(origin[0]), int(origin[1])
+    lo_x, hi_x = _src_span(x0o, x1o, sx)
+    lo_y, hi_y = _src_span(y0o, y1o, sy)
+    ok_x = (max(lo_x, 0) >= x0p and min(hi_x, wm - 1) < min(x0p + p, wm)
+            and (lo_x >= 0 or x0p == 0)
+            and (hi_x <= wm - 1 or x0p + p == wm))
+    ok_y = (max(lo_y, 0) >= y0p and min(hi_y, hm - 1) < min(y0p + p, hm)
+            and (lo_y >= 0 or y0p == 0)
+            and (hi_y <= hm - 1 or y0p + p == hm))
+    return ok_x and ok_y
+
+
+def _warp_patch_source(patch: np.ndarray, origin, qbox, hm: int, wm: int,
+                       valid_h: int, valid_w: int, canvas_h: int,
+                       canvas_w: int, orig_h: int, orig_w: int):
+    """_warp_box_patch, but sourcing from a device-cropped (p, p) float
+    patch whose [0, 0] is full-map pixel ``origin`` (x0p, y0p). Caller must
+    have checked ``_patch_fits`` — given that, the result is byte-identical
+    to warping the full map: the affine translation shifts by the integer
+    origin (exact in f64, so cv2's fixed-point fractional coordinates are
+    unchanged) and every touched source pixel holds the same value."""
+    import cv2
+
+    p = patch.shape[0]
+    if hm <= p and wm <= p:
+        return _warp_box_patch(patch[:hm, :wm], qbox, valid_h, valid_w,
+                               canvas_h, canvas_w, orig_h, orig_w)
+    sx = (valid_w * wm) / (orig_w * canvas_w)
+    sy = (valid_h * hm) / (orig_h * canvas_h)
+    rect = _out_rect(qbox, sx, sy, orig_h, orig_w)
+    if rect is None:
+        return None, 0, 0
+    x0o, y0o, x1o, y1o = rect
+    # _warp_box_patch hands cv2 a float32 matrix which cv2 widens to f64
+    # per pixel; replicate that exact rounding, THEN shift by the integer
+    # origin in f64 (exact), so the fixed-point fractional source
+    # coordinates match the full-map warp bit for bit
+    tx = float(np.float32((x0o + 0.5) * sx - 0.5)) - int(origin[0])
+    ty = float(np.float32((y0o + 0.5) * sy - 0.5)) - int(origin[1])
+    m = np.array([[float(np.float32(sx)), 0.0, tx],
+                  [0.0, float(np.float32(sy)), ty]], np.float64)
+    out = cv2.warpAffine(
+        patch, m, (x1o - x0o, y1o - y0o),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        borderMode=cv2.BORDER_REPLICATE)
+    return out > 0.5, x0o, y0o
 
 
 def _warp_box_patch(prob: np.ndarray, qbox, valid_h: int, valid_w: int,
@@ -92,16 +187,10 @@ def _warp_box_patch(prob: np.ndarray, qbox, valid_h: int, valid_w: int,
     hm, wm = prob.shape
     sx = (valid_w * wm) / (orig_w * canvas_w)
     sy = (valid_h * hm) / (orig_h * canvas_h)
-    x0q, y0q, x1q, y1q = (int(v) for v in qbox)
-    if x1q <= x0q or y1q <= y0q:
+    rect = _out_rect(qbox, sx, sy, orig_h, orig_w)
+    if rect is None:
         return None, 0, 0
-    # output rect whose source footprint intersects the support box
-    x0o = max(0, int(np.floor((x0q - 0.5) / sx - 0.5)))
-    y0o = max(0, int(np.floor((y0q - 0.5) / sy - 0.5)))
-    x1o = min(orig_w, int(np.ceil((x1q + 0.5) / sx + 0.5)))
-    y1o = min(orig_h, int(np.ceil((y1q + 0.5) / sy + 0.5)))
-    if x1o <= x0o or y1o <= y0o:
-        return None, 0, 0
+    x0o, y0o, x1o, y1o = rect
     # dst->src affine (WARP_INVERSE_MAP): src = s * (dst + o + 0.5) - 0.5
     m = np.array([[sx, 0.0, (x0o + 0.5) * sx - 0.5],
                   [0.0, sy, (y0o + 0.5) * sy - 0.5]], np.float32)
@@ -133,7 +222,11 @@ def postprocess_instances(mask_probs: np.ndarray, scores: np.ndarray,
                           score_thresh: float = 0.0,
                           boxes: Optional[np.ndarray] = None,
                           mask_boxes: Optional[np.ndarray] = None,
-                          fast: bool = True) -> List[dict]:
+                          fast: bool = True,
+                          mask_patches: Optional[np.ndarray] = None,
+                          patch_origins: Optional[np.ndarray] = None,
+                          mask_hw: Optional[tuple] = None,
+                          fetch_row=None) -> List[dict]:
     """One image: (K, Hm, Wm) probs -> COCO result dicts with RLE segms.
 
     Default (``fast`` + device ``mask_boxes``): one box-restricted
@@ -142,13 +235,28 @@ def postprocess_instances(mask_probs: np.ndarray, scores: np.ndarray,
     -> crop valid -> original size (bilinear) -> >0.5.
     ``boxes`` (K, 4) xyxy normalized to the canvas (MaskDINO box head) are
     used for the bbox task when given; otherwise boxes come from the mask.
+
+    When ``mask_patches`` (K', p, p) + ``patch_origins`` (K, 2) +
+    ``mask_hw`` (Hm, Wm) are given (device patch postprocess,
+    TEST.PATCH_POSTPROCESS), the fast path warps from the small patches —
+    byte-identical to the full map by the _patch_fits contract — and
+    ``mask_probs`` may be None; instances whose footprint escapes the
+    patch are refetched via ``fetch_row(i) -> (Hm, Wm)``.
     """
     results = []
-    k = mask_probs.shape[0]
+    use_patches = (fast and mask_patches is not None
+                   and patch_origins is not None and mask_hw is not None)
+    k = (mask_patches if use_patches else mask_probs).shape[0]
     keep = np.nonzero(np.asarray(scores[:k], np.float32) > score_thresh)[0]
     use_fast = fast and mask_boxes is not None
     # make_inference_fn ships probs uint8-quantized (x255)
-    prob_scale = np.float32(1 / 255 if mask_probs.dtype == np.uint8 else 1)
+    src_dtype = (mask_patches if use_patches else mask_probs).dtype
+    prob_scale = np.float32(1 / 255 if src_dtype == np.uint8 else 1)
+    if use_patches:
+        hm, wm = mask_hw
+        pp = mask_patches.shape[1]
+        sx = (valid_w * wm) / (orig_w * canvas_w)
+        sy = (valid_h * hm) / (orig_h * canvas_h)
     # NOTE: per-instance cv2 resizes ARE the fast path — cv2's >4-channel
     # resize falls back to a naive kernel (measured 110x slower for
     # (200,200,100)->(800,800,100)); don't "vectorize" this loop.
@@ -157,9 +265,21 @@ def postprocess_instances(mask_probs: np.ndarray, scores: np.ndarray,
         if use_fast:
             if mask_boxes[i, 2] <= mask_boxes[i, 0]:   # provably empty
                 continue
-            patch, x0o, y0o = _warp_box_patch(
-                mask_probs[i].astype(np.float32) * prob_scale, mask_boxes[i],
-                valid_h, valid_w, canvas_h, canvas_w, orig_h, orig_w)
+            if use_patches and _patch_fits(mask_boxes[i], patch_origins[i],
+                                           pp, hm, wm, sx, sy,
+                                           orig_h, orig_w):
+                patch, x0o, y0o = _warp_patch_source(
+                    mask_patches[i].astype(np.float32) * prob_scale,
+                    patch_origins[i], mask_boxes[i], hm, wm,
+                    valid_h, valid_w, canvas_h, canvas_w, orig_h, orig_w)
+            else:
+                row = (mask_probs[i] if not use_patches
+                       else np.asarray(fetch_row(i)))
+                row_scale = np.float32(
+                    1 / 255 if row.dtype == np.uint8 else 1)
+                patch, x0o, y0o = _warp_box_patch(
+                    row.astype(np.float32) * row_scale, mask_boxes[i],
+                    valid_h, valid_w, canvas_h, canvas_w, orig_h, orig_w)
             if patch is None or not patch.any():
                 continue
             # patch-sized RLE: no megapixel frame materialized or scanned
@@ -239,7 +359,7 @@ class COCOEvaluator:
             nonlocal n_images
             mp = out["mask_probs"]
             small = {k: np.asarray(v) for k, v in out.items()
-                     if k != "mask_probs"}
+                     if k not in ("mask_probs", "mask_patches")}
             bsz = batch["image"].shape[0] - batch.get("__pad__", 0)
             thresh = cfg.TEST.SCORE_THRESH
             # D2H is ~50 ms/MB through this platform's tunnel and the
@@ -253,8 +373,17 @@ class COCOEvaluator:
             for b in range(bsz):
                 kept = np.nonzero(small["scores"][b] > thresh)[0]
                 needs.append(int(kept.max()) + 1 if kept.size else 0)
+            # device patch postprocess (TEST.PATCH_POSTPROCESS): fetch the
+            # small per-instance patches instead of full prob rows; the
+            # full map stays on device for the rare footprint-escape
+            # fallback (byte-identical either way, see _patch_fits)
+            use_patches = fast and "mask_patches" in out
             device_mp = not isinstance(mp, np.ndarray)
-            if not device_mp or sum(needs) * 2 >= bsz * mp.shape[1]:
+            if use_patches:
+                patch_np = [_fetch_prefix(out["mask_patches"], b, needs[b])
+                            for b in range(bsz)]
+                probs = [None] * bsz
+            elif not device_mp or sum(needs) * 2 >= bsz * mp.shape[1]:
                 mp_np = np.asarray(mp)          # little to skip: one bulk D2H
                 probs = [mp_np[b] for b in range(bsz)]
             else:
@@ -264,6 +393,40 @@ class COCOEvaluator:
                           int(batch["valid_hw"][b, 1]))
                 oh, ow = (int(batch["orig_hw"][b, 0]),
                           int(batch["orig_hw"][b, 1]))
+                extra = {}
+                if use_patches:
+                    hm, wm = (int(mp.shape[2]), int(mp.shape[3]))
+                    pp = int(patch_np[b].shape[1])
+                    sx = (vw * wm) / (ow * canvas_w)
+                    sy = (vh * hm) / (oh * canvas_h)
+                    mb = small["mask_boxes"][b]
+                    po = small["patch_origin"][b]
+                    kept = np.nonzero(
+                        small["scores"][b][:needs[b]] > thresh)[0]
+                    bad = [i for i in kept
+                           if mb[i, 2] > mb[i, 0]
+                           and not _patch_fits(mb[i], po[i], pp, hm, wm,
+                                               sx, sy, oh, ow)]
+                    # fetch strategy for footprint-escape rows: chunked
+                    # prefix (few dispatches, all leading rows) vs one
+                    # dispatch per bad row. Cost model for this platform's
+                    # tunnel: ~25 ms/dispatch + ~50 ms/MB.
+                    if bad:
+                        n_pref = max(bad) + 1
+                        row_mb = hm * wm / 1e6
+                        pref_cost = (-(-n_pref // 16) * 25
+                                     + n_pref * row_mb * 50)
+                        single_cost = len(bad) * (25 + row_mb * 50)
+                        if pref_cost < single_cost:
+                            rows = _fetch_prefix(mp, b, n_pref)
+                            fetch_row = lambda i, rows=rows: rows[int(i)]
+                        else:
+                            fetch_row = _row_fetcher(mp, b)
+                    else:
+                        fetch_row = None   # never called
+                    extra = dict(mask_patches=patch_np[b],
+                                 patch_origins=po, mask_hw=(hm, wm),
+                                 fetch_row=fetch_row)
                 results.extend(postprocess_instances(
                     probs[b], small["scores"][b], small["labels"][b],
                     vh, vw, canvas_h, canvas_w, oh, ow,
@@ -273,7 +436,7 @@ class COCOEvaluator:
                     if "boxes" in small and not box_from_mask else None,
                     mask_boxes=small.get("mask_boxes", [None])[b]
                     if "mask_boxes" in small else None,
-                    fast=fast))
+                    fast=fast, **extra))
                 n_images += 1
 
         # pipeline: dispatch batch n+1 (async jit call) before doing host

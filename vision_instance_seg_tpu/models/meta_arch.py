@@ -187,6 +187,9 @@ def make_inference_fn(model, cfg):
     num_classes = cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES
     topk = cfg.TEST.DETECTIONS_PER_IMAGE
     dino = isinstance(model, MaskDINO)
+    patch_size = (int(cfg.TEST.get("PATCH_SIZE", 64))
+                  if cfg.TEST.get("PATCH_POSTPROCESS", False)
+                  and cfg.TEST.get("FAST_POSTPROCESS", True) else 0)
 
     def infer(params, images):
         images = normalize_image(images, cfg)
@@ -233,9 +236,49 @@ def make_inference_fn(model, cfg):
         # requantization the parity chain already tolerates
         res["mask_probs"] = jnp.round(
             res["mask_probs"] * 255.0).astype(jnp.uint8)
+        if patch_size:
+            # fixed-size per-instance crops of the quantized map: the eval
+            # loop D2Hs these (~P*P bytes/instance) instead of full (Hm, Wm)
+            # rows; instances whose warp footprint escapes the patch fall
+            # back to a full-row fetch (engine/evaluator.py _patch_fits)
+            res["patch_origin"], res["mask_patches"] = _extract_mask_patches(
+                res["mask_probs"], res["mask_boxes"], patch_size)
         return res
 
     return jax.jit(infer)
+
+
+def _extract_mask_patches(mask_probs: jnp.ndarray, mask_boxes: jnp.ndarray,
+                          p: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Crop each instance's support-box region into a fixed (p, p) patch.
+
+    mask_probs (B, K, Hm, Wm) uint8; mask_boxes (B, K, 4) int32 xyxy at
+    mask resolution (_mask_support_boxes). Returns origins (B, K, 2) int32
+    (x0p, y0p) and patches (B, K, p, p) uint8 with
+    ``patch[i, j] == mask_probs[y0p + i, x0p + j]`` exactly (0 past the map
+    edge). Origins center the box and clip to the map, so any box with >=
+    (p - box_side) / 2 px of slack fits with margin for the host warp's
+    bilinear footprint. Selection is two one-hot matmuls per instance (MXU
+    work) — an XLA row gather is element-serial on TPU. Exact: each output
+    element is a sum with exactly one nonzero term; HIGHEST precision keeps
+    the 0-255 integers bit-exact through the f32 matmul.
+    """
+    hm, wm = mask_probs.shape[-2:]
+    x0, y0, x1, y1 = (mask_boxes[..., i] for i in range(4))
+    x0p = jnp.clip(x0 - (p - (x1 - x0)) // 2, 0, max(wm - p, 0))
+    y0p = jnp.clip(y0 - (p - (y1 - y0)) // 2, 0, max(hm - p, 0))
+    pi = jnp.arange(p, dtype=jnp.int32)[:, None]
+    rows = (y0p[..., None, None] + pi
+            == jnp.arange(hm, dtype=jnp.int32)).astype(jnp.float32)
+    cols = (x0p[..., None, None] + pi
+            == jnp.arange(wm, dtype=jnp.int32)).astype(jnp.float32)
+    tmp = jnp.einsum("bkph,bkhw->bkpw", rows,
+                     mask_probs.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    patches = jnp.einsum("bkpw,bkqw->bkpq", tmp, cols,
+                         precision=jax.lax.Precision.HIGHEST)
+    return (jnp.stack([x0p, y0p], -1),
+            jnp.round(patches).astype(jnp.uint8))
 
 
 def _mask_support_boxes(mask_probs: jnp.ndarray) -> jnp.ndarray:
