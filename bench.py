@@ -33,11 +33,14 @@ TARGET_MULTIPLIER = 3.0
 def bench_infer(batch: int, iters: int, warmup: int = 3,
                 image_hw: int = 800, encoder: str = "window",
                 model_name: str = "mask2former",
-                backbone: str = "swin_t", levels: int = 4) -> dict:
+                backbone: str = "swin_t", levels: int = 4,
+                opts=None) -> dict:
     from vision_instance_seg_tpu.config import get_cfg
     from vision_instance_seg_tpu.models import build_model, normalize_image
 
     cfg = get_cfg()                       # Swin-T Mask2Former defaults
+    if opts:                              # trailing KEY VALUE overrides
+        cfg.merge_from_list(list(opts))
     cfg.INPUT.TEST_PAD_H = cfg.INPUT.TEST_PAD_W = image_hw
     # TPU-native flagship: windowed multi-scale encoder.
     # "deformable" keeps the reference-parity encoder for comparison runs.
@@ -132,6 +135,9 @@ def main():
                     choices=["swin_t", "swin_b", "r50"])
     ap.add_argument("--levels", type=int, default=4,
                     help="MaskDINO encoder scales (4 = reference 4s yaml)")
+    ap.add_argument("opts", nargs="*", default=[],
+                    help="trailing config overrides, e.g. "
+                         "TPU.SCAN_SWIN_STAGES False")
     args = ap.parse_args()
 
     if jax.default_backend() == "cpu":    # keep CI/CPU smoke runs fast
@@ -139,7 +145,8 @@ def main():
 
     r = bench_infer(args.batch, args.iters, image_hw=args.image_size,
                     encoder=args.encoder, model_name=args.model,
-                    backbone=args.backbone, levels=args.levels)
+                    backbone=args.backbone, levels=args.levels,
+                    opts=args.opts)
     target = A100_SWIN_T_M2F_IMG_PER_SEC * TARGET_MULTIPLIER
     print(json.dumps({
         "metric": (f"{args.backbone}_{args.model}"

@@ -224,9 +224,10 @@ class TestSwinImport:
                                         jnp.zeros((1, 64, 64, 3)))
         updated = import_backbone_weights(str(path), variables)
 
+        # stage 2 (depth 6) is nn.scan-folded: block 3 = pair 1, odd slot
         np.testing.assert_allclose(
-            np.asarray(updated["params"]["stage2_block3"]["attn"]["qkv"]
-                       ["kernel"]),
+            np.asarray(updated["params"]["stage2_blocks"]["block1"]["attn"]
+                       ["qkv"]["kernel"])[1],
             sd["layers.2.blocks.3.attn.qkv.weight"].T)
         np.testing.assert_allclose(
             np.asarray(updated["params"]["stage1_block0"]["attn"]
@@ -238,3 +239,32 @@ class TestSwinImport:
             sd["layers.0.downsample.reduction.weight"].T)
         out = model.apply(updated, jnp.zeros((1, 64, 64, 3)))
         assert np.isfinite(np.asarray(out["res5"])).all()
+
+    def test_scanned_import_matches_loop_import(self, rng, tmp_path):
+        """Importing the same torch checkpoint into the scanned and the
+        per-block (scan_stages=False) models must yield identical
+        forwards — proves the restack stacks the right blocks into the
+        right pair slots."""
+        from vision_instance_seg_tpu.models.swin import SwinTransformer
+        from vision_instance_seg_tpu.utils.weights import (
+            import_backbone_weights)
+
+        sd = synth_swin_t(rng)
+        path = tmp_path / "swin_t.pth"
+        torch.save({"model": {k: torch.from_numpy(v)
+                              for k, v in sd.items()}}, str(path))
+
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        outs = {}
+        for scan in (True, False):
+            model = SwinTransformer(drop_path_rate=0.0, scan_stages=scan)
+            variables = jax.jit(model.init)(jax.random.key(0), x)
+            updated = import_backbone_weights(str(path), variables)
+            outs[scan] = model.apply(updated, x)
+        for k in outs[True]:
+            # allclose, not equal: the scan body compiles as one unit, so
+            # fusion/ordering may differ from the eager loop at ULP level;
+            # a misplaced block would differ grossly
+            np.testing.assert_allclose(np.asarray(outs[True][k]),
+                                       np.asarray(outs[False][k]),
+                                       rtol=1e-5, atol=1e-5, err_msg=k)

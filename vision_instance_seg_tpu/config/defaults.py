@@ -293,6 +293,18 @@ def get_cfg() -> CN:
     # the training CLIs and bench_train set 1 (rolled) so the fwd+bwd
     # program stays compilable at 4-scale. Param layout is unaffected.
     _C.TPU.SCAN_ENC_UNROLL = 6
+    # nn.scan Swin stage bodies with >= 2 (regular, shifted) block pairs
+    # (one pair trace per stage; params stack under stage{s}_blocks —
+    # torch imports are restacked by utils/weights.py). Shrinks the
+    # per-layer HBM->SMEM param-staging DMA tail named in the PERF.md
+    # roofline and the program size of deep variants (S/B/L stage 3).
+    _C.TPU.SCAN_SWIN_STAGES = True
+    # unroll (in pairs): full unroll (9 covers S/B/L stage 3) keeps the
+    # loop's cross-layer fusion; 1 = rolled while-loop (smallest program)
+    _C.TPU.SCAN_SWIN_UNROLL = 9
+    # same fold for the window-encoder layers (flagship pixel decoder):
+    # (unshifted, shifted) pairs scan over stacked params
+    _C.TPU.SCAN_WENC_LAYERS = True
     _C.TPU.PROFILE = False             # jax.profiler trace behind a flag
     _C.TPU.PROFILE_DIR = "/tmp/vist_trace"
 

@@ -45,11 +45,14 @@ class DropPath(nn.Module):
     deterministic: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x, deterministic: Optional[bool] = None):
+    def __call__(self, x, deterministic: Optional[bool] = None, rate=None):
+        # ``rate`` overrides the static attribute with a (possibly traced)
+        # scalar — nn.scan bodies receive per-layer drop-path rates as
+        # scanned inputs, which cannot be static module attributes.
         det = nn.merge_param("deterministic", self.deterministic, deterministic)
-        if det or self.rate == 0.0:
+        if det or (rate is None and self.rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        keep = 1.0 - (self.rate if rate is None else rate)
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)

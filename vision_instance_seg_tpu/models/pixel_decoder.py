@@ -87,6 +87,36 @@ class _DeformableEncoderScanBody(nn.Module):
         return out, ()
 
 
+class _WindowEncoderScanBody(nn.Module):
+    """An (unshifted, shifted) WindowEncoderLayer pair in ``nn.scan`` form
+    (carry = src). Same motivation as _DeformableEncoderScanBody /
+    swin._SwinStagePairBody: the flagship's 6 window-encoder layers are
+    three structurally identical pairs, so one scanned pair trace replaces
+    three duplicate traces — cutting the per-layer HBM->SMEM param-staging
+    DMA tail (PERF.md roofline) and program size."""
+
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    window_size: int
+    spatial_shapes: Tuple[Tuple[int, int], ...]
+    dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[AttnFn] = None
+
+    @nn.compact
+    def __call__(self, src, pos):
+        kw = dict(dim=self.dim, num_heads=self.num_heads,
+                  ffn_dim=self.ffn_dim, window_size=self.window_size,
+                  dtype=self.dtype, attn_fn=self.attn_fn)
+        # names avoid mesh.py's layer0/layer1 role tokens (those mark
+        # column/row Dense kernels, not submodules)
+        src = WindowEncoderLayer(shift=False, name="block0", **kw)(
+            src, pos, None, list(self.spatial_shapes))
+        src = WindowEncoderLayer(shift=True, name="block1", **kw)(
+            src, pos, None, list(self.spatial_shapes))
+        return src, ()
+
+
 def _flash_or_dense_attention(q, k, v, scale: float):
     """(B, nH, S, hd) self-attention: TPU flash-attention Pallas kernel when
     available, dense jnp otherwise (CPU tests / tiny sequences)."""
@@ -330,6 +360,10 @@ class MSDeformAttnPixelDecoder(nn.Module):
     # 50.2 vs 71.2 img/s rolled-vs-loop at 3-scale); training sets 1 so the
     # fwd+bwd Mosaic program stays small enough for the compile helper
     scan_unroll: int = 1
+    # same fold for the window encoder: (unshifted, shifted) pairs scan
+    # over stacked params (_WindowEncoderScanBody); needs an even layer
+    # count >= 4 to be worth a scan, else the loop layout is kept
+    scan_wenc: bool = True
     dtype: jnp.dtype = jnp.float32
     core_fn: Optional[DeformCoreFn] = None
     attn_fn: Optional[AttnFn] = None
@@ -411,6 +445,22 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 self.ffn_dim, spatial_shapes=tuple(shapes),
                 dtype=self.dtype, core_fn=self.core_fn,
                 name="encoder_layers")(src, pos, ref)
+        elif (self.encoder_attention == "window" and self.scan_wenc
+              and self.num_encoder_layers >= 4
+              and self.num_encoder_layers % 2 == 0):
+            pairs = self.num_encoder_layers // 2
+            body = (nn.remat(_WindowEncoderScanBody) if self.remat
+                    else _WindowEncoderScanBody)
+            stack = nn.scan(
+                body, variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,), length=pairs,
+                unroll=max(1, min(self.scan_unroll, pairs)))
+            src, _ = stack(
+                self.conv_dim, self.num_heads, self.ffn_dim,
+                window_size=self.encoder_window_size,
+                spatial_shapes=tuple(shapes), dtype=self.dtype,
+                attn_fn=self.attn_fn, name="wenc_layers")(src, pos)
         else:
             for li in range(self.num_encoder_layers):
                 if self.encoder_attention == "window":
@@ -489,4 +539,5 @@ def build_pixel_decoder(cfg, dtype=jnp.float32,
         remat=bool(cfg.TPU.get("REMAT_ENCODER", False)),
         scan_layers=bool(cfg.TPU.get("SCAN_ENC_LAYERS", True)),
         scan_unroll=int(cfg.TPU.get("SCAN_ENC_UNROLL", 6)),
+        scan_wenc=bool(cfg.TPU.get("SCAN_WENC_LAYERS", True)),
         dtype=dtype, core_fn=core_fn, attn_fn=attn_fn)

@@ -205,8 +205,11 @@ class SwinBlock(nn.Module):
     attn_fn: Optional[AttnFn] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        # x: (B, H, W, C) with H, W already padded to window multiples
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 drop_path_rate=None) -> jnp.ndarray:
+        # x: (B, H, W, C) with H, W already padded to window multiples;
+        # drop_path_rate: optional traced scalar overriding self.drop_path
+        # (scanned stages feed per-block rates as scan inputs)
         b, h, w, c = x.shape
         ws, shift = self.window_size, self.shift_size
 
@@ -229,12 +232,51 @@ class SwinBlock(nn.Module):
         x = window_unpartition(xw, ws, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+        x = shortcut + DropPath(self.drop_path)(x, deterministic,
+                                                rate=drop_path_rate)
 
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
                 name="mlp")(y, deterministic)
-        return x + DropPath(self.drop_path)(y, deterministic)
+        return x + DropPath(self.drop_path)(y, deterministic,
+                                            rate=drop_path_rate)
+
+
+class _SwinStagePairBody(nn.Module):
+    """A (regular, shifted) SwinBlock pair in ``nn.scan`` form (carry = x).
+
+    Swin stage bodies alternate W-MSA / SW-MSA, so consecutive blocks are
+    structurally identical in pairs — scanning over stacked pair params
+    keeps ONE trace of the pair regardless of stage depth. This targets the
+    profiled per-layer cost that does NOT shrink with more layers of the
+    same trace: the HBM->SMEM parameter/index staging DMA tail (docs/PERF.md
+    roofline table "copy-start DMAs ... amortizes only with layer
+    fusion/scan") and, for deep variants (S/B/L stage 3 = 18 blocks),
+    program size / compile time. Per-block drop-path rates ride along as a
+    scanned (pairs, 2) input since they vary per block (stochastic-depth
+    linspace).
+    """
+
+    dim: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[AttnFn] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic, dpr):
+        kw = dict(dim=self.dim, num_heads=self.num_heads,
+                  window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                  qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                  dtype=self.dtype, attn_fn=self.attn_fn)
+        x = SwinBlock(shift_size=0, name="block0", **kw)(
+            x, deterministic, drop_path_rate=dpr[0])
+        x = SwinBlock(shift_size=self.window_size // 2, name="block1", **kw)(
+            x, deterministic, drop_path_rate=dpr[1])
+        return x, ()
 
 
 class PatchMerging(nn.Module):
@@ -288,6 +330,17 @@ class SwinTransformer(nn.Module):
     ape: bool = False
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     use_checkpoint: bool = False
+    # nn.scan stage bodies with >= 2 (regular, shifted) pairs — one trace
+    # per stage instead of per block (see _SwinStagePairBody). Params move
+    # from stage{s}_block{d} subtrees to a stacked stage{s}_blocks tree;
+    # utils/weights.py restacks torch imports accordingly.
+    scan_stages: bool = True
+    # unroll factor (in PAIRS): full unroll keeps the loop's cross-layer
+    # XLA fusion (stacked params still cut per-layer staging); 1 = rolled
+    # while-loop (smallest program — the deformable encoder measured a
+    # fusion cost when rolled, so default to full unroll and let training
+    # CLIs roll if compile size demands it)
+    scan_unroll: int = 9
     dtype: jnp.dtype = jnp.float32
     attn_fn: Optional[AttnFn] = None
 
@@ -317,16 +370,37 @@ class SwinTransformer(nn.Module):
             # pad to window multiples for the blocks, crop back after —
             # feature strides stay exactly 4/8/16/32 w.r.t. the input canvas
             x, hp, wp = _pad_to_windows(x, self.window_size)
-            for d in range(self.depths[stage]):
-                x = block_cls(
+            depth = self.depths[stage]
+            if self.scan_stages and depth % 2 == 0 and depth >= 4:
+                # one scanned pair trace (length-1 scans gain nothing, so
+                # depth-2 stages keep the plain loop / per-block params)
+                body = (nn.remat(_SwinStagePairBody, static_argnums=(2,))
+                        if self.use_checkpoint else _SwinStagePairBody)
+                rates = jnp.asarray(dpr[blk_i:blk_i + depth],
+                                    jnp.float32).reshape(depth // 2, 2)
+                stack = nn.scan(
+                    body, variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast, 0), length=depth // 2,
+                    unroll=max(1, min(self.scan_unroll, depth // 2)))
+                x, _ = stack(
                     dim=dim, num_heads=self.num_heads[stage],
-                    window_size=self.window_size,
-                    shift_size=0 if d % 2 == 0 else self.window_size // 2,
-                    mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                    qk_scale=self.qk_scale, drop_path=dpr[blk_i],
+                    window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                     dtype=self.dtype, attn_fn=self.attn_fn,
-                    name=f"stage{stage}_block{d}")(x, deterministic)
-                blk_i += 1
+                    name=f"stage{stage}_blocks")(x, deterministic, rates)
+                blk_i += depth
+            else:
+                for d in range(depth):
+                    x = block_cls(
+                        dim=dim, num_heads=self.num_heads[stage],
+                        window_size=self.window_size,
+                        shift_size=0 if d % 2 == 0 else self.window_size // 2,
+                        mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                        qk_scale=self.qk_scale, drop_path=dpr[blk_i],
+                        dtype=self.dtype, attn_fn=self.attn_fn,
+                        name=f"stage{stage}_block{d}")(x, deterministic)
+                    blk_i += 1
             x = x[:, :h0, :w0]
             feat_name = f"res{stage + 2}"
             if feat_name in self.out_features:
@@ -361,4 +435,6 @@ def build_swin(cfg, dtype=jnp.float32, attn_fn: Optional[AttnFn] = None
         qk_scale=s.QK_SCALE, drop_path_rate=s.DROP_PATH_RATE,
         patch_norm=s.PATCH_NORM, ape=s.APE,
         out_features=tuple(s.OUT_FEATURES), use_checkpoint=s.USE_CHECKPOINT,
+        scan_stages=bool(cfg.TPU.get("SCAN_SWIN_STAGES", True)),
+        scan_unroll=int(cfg.TPU.get("SCAN_SWIN_UNROLL", 9)),
         dtype=dtype, attn_fn=attn_fn)

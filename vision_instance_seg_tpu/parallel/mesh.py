@@ -82,9 +82,11 @@ def param_shardings(params: Any, mesh: Mesh,
     def spec(path, x) -> P:
         name = "/".join(str(getattr(p, "key", p)) for p in path).lower()
         nd = getattr(x, "ndim", 0)
-        # nn.scan-stacked encoder kernels are (L, in, out): shard the
-        # feature dims, leave the scan axis replicated
-        scanned = nd == 3 and "encoder_layers" in name
+        # nn.scan-stacked kernels are (L, in, out): shard the feature
+        # dims, leave the scan axis replicated (deformable encoder_layers,
+        # window-encoder wenc_layers, swin stage{s}_blocks pair scans)
+        scanned = nd == 3 and any(
+            t in name for t in ("encoder_layers", "wenc_layers", "_blocks"))
         if tp == 1 or (nd != 2 and not scanned) or x.size < min_size:
             return P()
         if any(k in name for k in _COLUMN_KEYS) and x.shape[-1] % tp == 0:

@@ -128,6 +128,33 @@ def _swin_key_map(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return out
 
 
+def _restack_scanned_swin(mapped: dict, target: dict) -> dict:
+    """Convert per-block ``stage{s}_block{b}`` imports to the nn.scan pair
+    layout (swin.SwinTransformer ``scan_stages``): a ``stage{s}_blocks``
+    tree with ``block0`` = even (W-MSA) / ``block1`` = odd (SW-MSA) blocks
+    stacked along a leading (pairs,) axis. Stages whose target keeps
+    per-block params (depth-2 stages stay unscanned) are left as-is."""
+    for s in range(8):
+        tgt_key = f"stage{s}_blocks"
+        if tgt_key not in target:
+            continue
+        names = sorted((k for k in mapped
+                        if re.fullmatch(rf"stage{s}_block\d+", k)),
+                       key=lambda k: int(k.rsplit("block", 1)[1]))
+        if not names:
+            continue
+        subs = [mapped.pop(k) for k in names]
+
+        def stack(trees):
+            if isinstance(trees[0], dict):
+                return {k: stack([t[k] for t in trees]) for k in trees[0]}
+            return np.stack(trees, axis=0)
+
+        mapped[tgt_key] = {"block0": stack(subs[0::2]),
+                           "block1": stack(subs[1::2])}
+    return mapped
+
+
 # ------------------------------------------------------------------- resnet
 def _resnet_key_map(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """torchvision or detectron2 R-50 state -> nested params/frozen dicts."""
@@ -228,9 +255,14 @@ def import_backbone_weights(path: str, variables: Any) -> Any:
         if coll not in converted or not converted[coll]:
             continue
         if coll in plain and "backbone" in plain[coll]:
-            applied += _deep_update(plain[coll]["backbone"], converted[coll])
+            dst = plain[coll]["backbone"]
         elif coll in plain:
-            applied += _deep_update(plain[coll], converted[coll])
+            dst = plain[coll]
+        else:
+            continue
+        if is_swin and coll == "params":
+            _restack_scanned_swin(converted[coll], dst)
+        applied += _deep_update(dst, converted[coll])
     logger.info("imported %d arrays from %s (%s)", applied, path,
                 "swin" if is_swin else "resnet")
     if applied == 0:
@@ -542,6 +574,8 @@ def import_full_model_weights(path: str, variables: Any) -> Tuple[Any, Dict]:
         for coll in ("params", "frozen"):
             dst = plain.get(coll, {}).get("backbone") if coll in plain else None
             if dst is not None and conv.get(coll):
+                if is_swin and coll == "params":
+                    _restack_scanned_swin(conv[coll], dst)
                 applied += _deep_update(dst, conv[coll])
         # every backbone.* key accounted (maps drop only heads/trackers)
         consumed |= {"backbone." + k for k in bb}
