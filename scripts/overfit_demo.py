@@ -45,6 +45,9 @@ def main():
                     help="softmax-CE classification (no-object channel)")
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--dn-num", type=int, default=16)
+    ap.add_argument("--dn-warmup", type=int, default=0,
+                    help="ramp dn loss weight 0->1 over this many steps "
+                         "(MODEL.MASK_DINO.DN_WARMUP_STEPS)")
     ap.add_argument("--cross", default="dense",
                     choices=["dense", "deformable"],
                     help="MaskDINO decoder cross-attention")
@@ -109,6 +112,7 @@ def main():
         cfg.MODEL.MASK_DINO.MASK_ATTN_BIAS = args.mask_bias
         cfg.MODEL.MASK_DINO.DENSE_LEVEL_CYCLE = args.level_cycle
         cfg.MODEL.MASK_DINO.DN_NUM = args.dn_num
+        cfg.MODEL.MASK_DINO.DN_WARMUP_STEPS = args.dn_warmup
         # MaskDINO base yaml class weight (4.0 vs Mask2Former's 2.0)
         cfg.MODEL.MASK_FORMER.CLASS_WEIGHT = 4.0
         if args.no_dn:

@@ -191,6 +191,62 @@ def test_dn_negative_noise_shell():
     assert pm[:, :, 0].all() and not pm[:, :, 1].any()
 
 
+def test_dn_warmup_scale_is_linear():
+    """MODEL.MASK_DINO.DN_WARMUP_STEPS ramps the dn loss weight 0 -> 1
+    (dn regularizes at scale but taxes small-data memorization by ~11 AP50,
+    docs/PERF.md micro ladder). The criterion must be exactly linear in
+    ``dn_scale``: total(s) = matched + s * dn for every decoder layer."""
+    import jax
+
+    from vision_instance_seg_tpu.models.criterion_dino import (
+        DinoCriterionConfig, maskdino_criterion)
+    from vision_instance_seg_tpu.models.maskdino_decoder import (
+        build_dn_queries)
+
+    b, m, q, c, groups, L, hw = 1, 3, 5, 2, 2, 2, 16
+    key = jax.random.key(1)
+    gt_classes = jnp.zeros((b, m), jnp.int32)
+    gt_boxes = jnp.tile(jnp.asarray([[0.5, 0.5, 0.4, 0.3]], jnp.float32),
+                        (b, m, 1))
+    gt_valid = jnp.ones((b, m), bool)
+    masks = np.zeros((b, m, hw, hw), np.uint8)
+    masks[:, :, 4:12, 4:12] = 1
+    labels, boxes, pos = build_dn_queries(
+        jax.random.key(0), gt_classes, gt_boxes, gt_valid, c, groups, 0.4,
+        0.0)
+    t = 2 * groups * m
+    dn_meta = {"groups": groups, "max_gt": m, "total": t,
+               "pos_mask": pos, "labels": labels, "boxes": boxes}
+    ks = jax.random.split(jax.random.key(2), 4)
+    outputs = {
+        "pred_logits": jax.random.normal(ks[0], (L, b, t + q, c)),
+        "pred_masks": jax.random.normal(ks[1], (L, b, t + q, hw, hw)),
+        "pred_boxes": jax.nn.sigmoid(
+            jax.random.normal(ks[2], (L, b, t + q, 4))),
+        "dn_meta": dn_meta,
+    }
+    cc = DinoCriterionConfig(num_classes=c, num_points=32,
+                             point_mode="grid", matcher="greedy")
+
+    def total(s):
+        tot, _ = maskdino_criterion(key, outputs, gt_classes,
+                                    jnp.asarray(masks), gt_boxes, gt_valid,
+                                    cc, dn_scale=s)
+        return float(tot)
+
+    t0, th, t1 = total(0.0), total(0.5), total(1.0)
+    assert t1 > t0, "dn losses must contribute at full scale"
+    assert abs(th - 0.5 * (t0 + t1)) < 1e-4 * max(1.0, abs(t1))
+    # dn logs stay unscaled (raw) so the metric is comparable across steps
+    _, logs0 = maskdino_criterion(key, outputs, gt_classes,
+                                  jnp.asarray(masks), gt_boxes, gt_valid,
+                                  cc, dn_scale=0.0)
+    _, logs1 = maskdino_criterion(key, outputs, gt_classes,
+                                  jnp.asarray(masks), gt_boxes, gt_valid,
+                                  cc, dn_scale=1.0)
+    assert abs(float(logs0["loss_dn"]) - float(logs1["loss_dn"])) < 1e-5
+
+
 class TestEmbeddingInitScale:
     """Query/label embeddings must be unit-scale (torch nn.Embedding parity).
 

@@ -71,6 +71,16 @@ def test_swin_stage_scan_trains():
     assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
+    # bf16 regression: drop-path divides by a TRACED f32 keep-prob (the
+    # scanned per-layer rate) — without a cast that promoted the scan carry
+    # bf16 -> f32 and lax.scan rejected the body (carry dtype mismatch)
+    bf16 = SwinTransformer(scan_stages=True, dtype=jnp.bfloat16, **kw)
+    vs16 = bf16.init({"params": jax.random.key(0)}, x)
+    out16 = bf16.apply(vs16, x, deterministic=False,
+                       rngs={"dropout": jax.random.key(1)})
+    assert out16["res3"].dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out16["res3"], np.float32)).all()
+
 
 def _wenc(scan: bool) -> MSDeformAttnPixelDecoder:
     return MSDeformAttnPixelDecoder(

@@ -135,6 +135,11 @@ def get_cfg() -> CN:
     _C.MODEL.MASK_DINO.DN_NUM = 100           # total denoising queries
     _C.MODEL.MASK_DINO.DN_NOISE_SCALE = 0.4
     _C.MODEL.MASK_DINO.DN_LABEL_NOISE_RATIO = 0.2
+    # Ramp the dn loss weight linearly 0 -> 1 over this many steps (0 = off).
+    # dn regularizes at scale but taxes small-data memorization (~11 AP50 on
+    # the micro-overfit ladder, docs/PERF.md) — warmup lets the matched
+    # losses shape queries first.
+    _C.MODEL.MASK_DINO.DN_WARMUP_STEPS = 0
     _C.MODEL.MASK_DINO.TWO_STAGE = True
     _C.MODEL.MASK_DINO.INITIAL_PRED = True
     _C.MODEL.MASK_DINO.LEARN_TGT = False

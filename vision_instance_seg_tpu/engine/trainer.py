@@ -66,7 +66,10 @@ def make_train_step(cfg, model, tx) -> Callable:
     else:
         cc = criterion_config_from_cfg(cfg)
 
-    def loss_fn(params, batch, rng):
+    dn_warmup = int(cfg.MODEL.MASK_DINO.get("DN_WARMUP_STEPS", 0)) if dino \
+        else 0
+
+    def loss_fn(params, batch, rng, step):
         drop_rng, crit_rng, dn_rng = jax.random.split(rng, 3)
         images = normalize_image(batch["image"].astype(jnp.float32), cfg)
         m = batch["gt_classes"].shape[1]
@@ -85,9 +88,11 @@ def make_train_step(cfg, model, tx) -> Callable:
                 rngs={"dropout": drop_rng},
                 gt_classes=batch["gt_classes"], gt_boxes=boxes,
                 gt_valid=gt_valid, dn_rng=dn_rng)
+            dn_scale = (jnp.minimum(step.astype(jnp.float32) / dn_warmup,
+                                    1.0) if dn_warmup > 0 else 1.0)
             return maskdino_criterion(
                 crit_rng, out, batch["gt_classes"], batch["gt_masks"],
-                boxes, gt_valid, dcc)
+                boxes, gt_valid, dcc, dn_scale=dn_scale)
         cls_layers, mask_layers = model.apply(
             params, images, deterministic=False, rngs={"dropout": drop_rng})
         total, logs = set_criterion(
@@ -98,7 +103,7 @@ def make_train_step(cfg, model, tx) -> Callable:
     def train_step(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, step_rng)
+            state.params, batch, step_rng, state.step)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         logs["grad_norm"] = optax.global_norm(grads)

@@ -290,9 +290,17 @@ def _dn_losses(key, cls_logits, mask_logits, boxes, dn_meta, gt_classes,
 
 def maskdino_criterion(key, outputs: Dict, gt_classes, gt_masks,
                        gt_boxes_cxcywh, gt_valid,
-                       cc: DinoCriterionConfig
+                       cc: DinoCriterionConfig,
+                       dn_scale=1.0
                        ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Total MaskDINO loss over all decoder layers + enc level + dn."""
+    """Total MaskDINO loss over all decoder layers + enc level + dn.
+
+    ``dn_scale`` (scalar, may be traced) multiplies the denoising-loss
+    contribution: MODEL.MASK_DINO.DN_WARMUP_STEPS ramps it 0 -> 1 so dn —
+    a regularizer that pays at scale but taxes small-data memorization by
+    ~11 AP50 (docs/PERF.md micro ladder) — phases in after the matched
+    losses have shaped the queries.
+    """
     cls_layers = outputs["pred_logits"]      # (L, B, T+Q, C)
     mask_layers = outputs["pred_masks"]
     box_layers = outputs["pred_boxes"]
@@ -338,7 +346,7 @@ def maskdino_criterion(key, outputs: Dict, gt_classes, gt_masks,
                 k, cls_f[:, :t], mask_f[:, :t], box_f[:, :t], dn_meta,
                 gt_classes, gt_masks, gt_boxes_cxcywh, gt_valid, cc,
                 gt_grid=gt_pts if grid_mode else None)
-            lt = lt + dn_total
+            lt = lt + dn_scale * dn_total
             dn_logs = {"loss_dn": dn_total}
             dn_logs.update({f"dn_{k2[5:]}": v for k2, v in dnl.items()
                             if k2.startswith("loss_")})

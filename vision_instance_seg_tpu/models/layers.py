@@ -56,7 +56,10 @@ class DropPath(nn.Module):
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
-        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+        # keep may be a traced f32 scalar (scanned per-layer rates); cast so
+        # the output dtype matches x — an nn.scan carry must not promote
+        return jnp.where(mask, x / jnp.asarray(keep, x.dtype),
+                         jnp.zeros_like(x))
 
 
 class Mlp(nn.Module):
