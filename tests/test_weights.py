@@ -268,3 +268,56 @@ class TestSwinImport:
             np.testing.assert_allclose(np.asarray(outs[True][k]),
                                        np.asarray(outs[False][k]),
                                        rtol=1e-5, atol=1e-5, err_msg=k)
+
+    def test_window_size_change_interpolates_bias_table(self, rng, tmp_path):
+        """A window-7 checkpoint loads into a window-8 model: the rel-pos
+        bias tables are bicubic-resized (microsoft load_pretrained
+        convention), everything else imports exactly."""
+        from vision_instance_seg_tpu.models.swin import SwinTransformer
+        from vision_instance_seg_tpu.utils.weights import (
+            import_backbone_weights)
+
+        sd = synth_swin_t(rng)
+        path = tmp_path / "swin_t.pth"
+        torch.save({"model": {k: torch.from_numpy(v)
+                              for k, v in sd.items()}}, str(path))
+
+        model = SwinTransformer(drop_path_rate=0.0, window_size=8)
+        variables = jax.jit(model.init)(jax.random.key(0),
+                                        jnp.zeros((1, 64, 64, 3)))
+        updated = import_backbone_weights(str(path), variables)
+
+        tbl = np.asarray(updated["params"]["stage0_block0"]["attn"]
+                         ["relative_position_bias_table"])
+        assert tbl.shape == (15 * 15, 3)
+        # non-table weights still import exactly
+        np.testing.assert_allclose(
+            np.asarray(updated["params"]["stage0_block0"]["attn"]["qkv"]
+                       ["kernel"]),
+            sd["layers.0.blocks.0.attn.qkv.weight"].T)
+        out = model.apply(updated, jnp.zeros((1, 64, 64, 3)))
+        assert np.isfinite(np.asarray(out["res5"])).all()
+
+
+class TestRelPosResize:
+    def test_constant_table_preserved(self):
+        from vision_instance_seg_tpu.utils.weights import (
+            _resize_rel_pos_table)
+        v = np.full((13 * 13, 3), 0.7, np.float32)
+        out = _resize_rel_pos_table(v, 15 * 15)
+        assert out.shape == (15 * 15, 3)
+        np.testing.assert_allclose(out, 0.7, rtol=1e-5)
+
+    def test_stacked_tables_and_bad_shapes(self, rng):
+        from vision_instance_seg_tpu.utils.weights import (
+            _fit_rel_pos, _resize_rel_pos_table)
+        v = rng.normal(size=(2, 13 * 13, 3)).astype(np.float32)
+        out = _fit_rel_pos(v, (2, 15 * 15, 3))
+        assert out.shape == (2, 15 * 15, 3)
+        for i in range(2):
+            np.testing.assert_allclose(
+                out[i], _resize_rel_pos_table(v[i], 15 * 15))
+        with pytest.raises(ValueError):
+            _resize_rel_pos_table(v[0], 170)  # not a square length
+        with pytest.raises(ValueError):
+            _fit_rel_pos(v, (3, 15 * 15, 3))  # pair-count mismatch

@@ -217,6 +217,42 @@ def _resnet_key_map(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params, "frozen": frozen}
 
 
+def _resize_rel_pos_table(v: np.ndarray, want_len: int) -> np.ndarray:
+    """Bicubic-resize a flattened ``((2w-1)^2, nH)`` relative-position-bias
+    table to a new window size — the microsoft Swin ``load_pretrained``
+    convention (F.interpolate bicubic over the unflattened 2D table), so
+    pretrained window-7 checkpoints load at the WINDOW_SIZE throughput knob
+    (e.g. 8/10 tile 800px stages exactly; see docs/PERF.md)."""
+    import torch
+    import torch.nn.functional as F
+
+    l0, nh = v.shape
+    s0 = int(round(l0 ** 0.5))
+    s1 = int(round(want_len ** 0.5))
+    if s0 * s0 != l0 or s1 * s1 != want_len:
+        raise ValueError(
+            f"relative_position_bias_table lengths not square: "
+            f"ckpt {l0} -> model {want_len}")
+    t = torch.from_numpy(np.asarray(v, np.float32))
+    t = t.reshape(s0, s0, nh).permute(2, 0, 1).unsqueeze(0)
+    t = F.interpolate(t, size=(s1, s1), mode="bicubic", align_corners=False)
+    return t.squeeze(0).permute(1, 2, 0).reshape(want_len, nh).numpy()
+
+
+def _fit_rel_pos(v: np.ndarray, want_shape) -> np.ndarray:
+    """Fit a (possibly pair-stacked ``(P, L, nH)``) bias table to the model
+    shape by per-table bicubic interpolation (window-size change)."""
+    if v.ndim == 2 and len(want_shape) == 2 and v.shape[1] == want_shape[1]:
+        return _resize_rel_pos_table(v, int(want_shape[0]))
+    if (v.ndim == 3 and len(want_shape) == 3
+            and v.shape[0] == want_shape[0] and v.shape[2] == want_shape[2]):
+        return np.stack([_resize_rel_pos_table(v[i], int(want_shape[1]))
+                         for i in range(v.shape[0])], axis=0)
+    raise ValueError(
+        f"cannot fit relative_position_bias_table {v.shape} "
+        f"to model shape {tuple(want_shape)}")
+
+
 def _deep_update(dst: dict, src: dict, path="") -> int:
     n = 0
     for k, v in src.items():
@@ -227,9 +263,12 @@ def _deep_update(dst: dict, src: dict, path="") -> int:
             if k in dst:
                 cur = np.asarray(dst[k])
                 if tuple(cur.shape) != tuple(v.shape):
-                    raise ValueError(
-                        f"shape mismatch at {path}/{k}: ckpt {v.shape} "
-                        f"vs model {cur.shape}")
+                    if k == "relative_position_bias_table":
+                        v = _fit_rel_pos(np.asarray(v), cur.shape)
+                    else:
+                        raise ValueError(
+                            f"shape mismatch at {path}/{k}: ckpt {v.shape} "
+                            f"vs model {cur.shape}")
                 dst[k] = np.asarray(v, np.float32)
                 n += 1
     return n
