@@ -1142,7 +1142,20 @@ _encoder_pallas_diff.defvjp(_encoder_pallas_fwd, _encoder_pallas_bwd)
 # arbitrary offsets, differentiable through XLA) brings the kernel count
 # back to the 3-scale module that compiles, at negligible FLOPs: the
 # (Q_coarse, sum HW) selection matrices stay tiny when Q_coarse <= QMAX.
-ONEHOT_QMAX = int(_os.environ.get("VIST_MSDEFORM_ONEHOT_QMAX", "256"))
+#
+# Default 0 (= all grid-query levels on Pallas): with QMAX=256 the 4-scale
+# INFERENCE forward — hybrid subset Pallas kernels + the coarse one-hot
+# core co-resident in one program — reproducibly crashed the v5e worker
+# ("TPU worker process crashed... kernel fault"), while the SAME shapes
+# pass standalone in both the all-Pallas form (bench_msdeform --levels 4),
+# the hybrid form jitted alone (fine+coarse, coarse-first level order),
+# and the full model in all-Pallas form. The fault needs the hybrid AND
+# the surrounding model graph; it is a Mosaic/XLA co-residency bug we
+# cannot introspect through the tunneled compile helper. The 169-token
+# /64 level costs Pallas ~nothing at inference; for TRAIN compile size
+# the nn.scan'd encoder (one trace) is the fix, with this knob kept as an
+# env escape hatch (VIST_MSDEFORM_ONEHOT_QMAX=256 restores the hybrid).
+ONEHOT_QMAX = int(_os.environ.get("VIST_MSDEFORM_ONEHOT_QMAX", "0"))
 
 
 def fused_ms_deform_attn(value: jnp.ndarray,
