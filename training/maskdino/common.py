@@ -122,6 +122,12 @@ def setup_cfg(train_name: Optional[str] = None,
     # Parity criterion: `MODEL.MASK_FORMER.POINT_MODE random` in opts.
     cfg.MODEL.MASK_FORMER.MATCHER = "hungarian"
     cfg.MODEL.MASK_FORMER.POINT_MODE = "grid"
+    # Ramp the denoising loss 0->1 over the first half of training: at the
+    # reference's data scale (26-127 images) dn taxes early query shaping
+    # — measured +25 segm AP50 on the 800-step demo (75.7 warmup-400 vs
+    # 50.5 dn-always-on, docs/PERF.md). Parity (always-on dn): pass
+    # `MODEL.MASK_DINO.DN_WARMUP_STEPS 0` in opts.
+    cfg.MODEL.MASK_DINO.DN_WARMUP_STEPS = max_iter // 2
     cfg.OUTPUT_DIR = output_dir
     if opts:
         cfg.merge_from_list(list(opts))
