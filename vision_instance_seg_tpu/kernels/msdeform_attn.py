@@ -96,6 +96,53 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_tile(hi: int, wi: int,
+               spatial_shapes: Sequence[Tuple[int, int]], halo: int,
+               budget: Optional[int] = None) -> Tuple[int, int]:
+    """Query-tile extents for a (hi, wi) query level.
+
+    ``budget=None`` — the r2 policy: tiles shrink PROPORTIONALLY to the
+    query level's resolution vs the finest sampled level, bounding halo
+    windows but collapsing coarse-level tiles to 16-32 queries: the
+    (S, hd) selection matmuls then use 1/16 of the MXU and the grid runs
+    ~4x more steps (profiled 2026-08-19: the (50,50) query level cost
+    almost as much as (100,100) with 4x fewer queries).
+
+    ``budget=N`` — keep the tile as LARGE as possible (descending query
+    count: 8x16, 8x8, 4x8, 2x8) subject to every halo window's area
+    wh*ww <= N. The window area bounds both the per-(head,point) one-hot
+    accumulator (wh, ww, S) and the matmul contraction size, so the
+    budget caps VMEM/vreg pressure while restoring full-width MXU tiles
+    on coarse query levels. tw candidates stay 8-divisible (Mosaic
+    sublane-DMA rule) or clamp to the whole level width.
+    """
+    if budget is None:
+        max_h = max(h for h, _ in spatial_shapes)
+        max_w = max(w for _, w in spatial_shapes)
+        th = min(TILE_H, hi, max(2, round(TILE_H * hi / max_h)))
+        tw = min(TILE_W, _round_up(max(1, round(TILE_W * wi / max_w)), 8))
+        if tw > wi:
+            tw = wi
+        return th, tw
+    cands = [(TILE_H, TILE_W), (TILE_H, TILE_W // 2),
+             (TILE_H // 2, TILE_W // 2), (max(2, TILE_H // 4), TILE_W // 2)]
+    th = tw = None
+    for cth, ctw in cands:
+        th = min(cth, hi)
+        tw = ctw if ctw <= wi else wi       # 8-divisible or whole width
+        area = max(_window_extent(th, hi, hj, halo)
+                   * _window_extent(tw, wi, wj, halo, align=8)
+                   for hj, wj in spatial_shapes)
+        if area <= budget:
+            break
+    return th, tw
+
+
+TPAD_BUDGET = int(_os.environ.get("VIST_MSDEFORM_TPAD", "4096"))
+_bwd_budget = _os.environ.get("VIST_MSDEFORM_TPAD_BWD", "")
+TPAD_BUDGET_BWD = int(_bwd_budget) if _bwd_budget else None
+
+
 def _window_extent(tile: int, src: int, dst: int, halo: int,
                    align: int = 1) -> int:
     """Static halo-window extent in the sampled level.
@@ -154,20 +201,10 @@ def _encoder_level_pallas(level_values: Sequence[Sequence[jnp.ndarray]],
     nl = len(spatial_shapes)
     c = nh * hd
     b = loc_i.shape[0]
-    # tile extents PROPORTIONAL to the query level's resolution relative to
-    # the finest sampled level: a coarse query level's full-size tile spans
-    # (almost) entire fine value levels, ballooning halo windows — t_pad
-    # ~4000 per (25,25) tile at 3 scales, whole-level windows at 4 scales
-    # (whose compile OOM'd the remote helper). Scaled tiles keep every
-    # window O(tile span in the finest level).
-    max_h = max(h for h, _ in spatial_shapes)
-    max_w = max(w for _, w in spatial_shapes)
-    th = min(TILE_H, hi, max(2, round(TILE_H * hi / max_h)))
-    # Pallas requires the block's second-minor dim to be 8-divisible or the
-    # whole level width
-    tw = min(TILE_W, _round_up(max(1, round(TILE_W * wi / max_w)), 8))
-    if tw > wi:
-        tw = wi
+    # largest tile under the window-area budget (see _pick_tile): restores
+    # 128-query MXU tiles on coarse query levels while capping halo-window
+    # VMEM/vreg pressure
+    th, tw = _pick_tile(hi, wi, spatial_shapes, halo, TPAD_BUDGET)
     s = th * tw
     vdtype = level_values[0][0].dtype
     lane = level_values[0][0].shape[-1]
@@ -453,12 +490,10 @@ def _encoder_level_bwd_lw_pallas(level_values, loc_i, aw_i, g_i, qi_hw,
     nl = len(spatial_shapes)
     c = nh * hd
     b = loc_i.shape[0]
-    max_h = max(h for h, _ in spatial_shapes)
-    max_w = max(w for _, w in spatial_shapes)
-    th = min(TILE_H, hi, max(2, round(TILE_H * hi / max_h)))
-    tw = min(TILE_W, _round_up(max(1, round(TILE_W * wi / max_w)), 8))
-    if tw > wi:
-        tw = wi
+    # backward keeps the r2 proportional tiles unless VIST_MSDEFORM_TPAD_BWD
+    # sets a budget (the bwd_lw body carries more live intermediates than
+    # the forward, and its compile history is fragile — see module notes)
+    th, tw = _pick_tile(hi, wi, spatial_shapes, halo, TPAD_BUDGET_BWD)
     s = th * tw
     vdtype = level_values[0][0].dtype
     lane = level_values[0][0].shape[-1]
@@ -860,12 +895,9 @@ def _encoder_level_bwd_v_pallas(g_levels, meta_by_q, vj_hw,
     nchunks = len(g_levels[0])
     gdtype = g_levels[0][0].dtype
 
-    max_h = max(h for h, _ in spatial_shapes)
-    max_w = max(w for _, w in spatial_shapes)
-    th = min(TILE_H, hj, max(2, round(TILE_H * hj / max_h)))
-    tw = min(TILE_W, _round_up(max(1, round(TILE_W * wj / max_w)), 8))
-    if tw > wj:
-        tw = wj
+    # value tiles: same policy switch as bwd_lw (proportional unless
+    # VIST_MSDEFORM_TPAD_BWD sets a budget)
+    th, tw = _pick_tile(hj, wj, spatial_shapes, halo, TPAD_BUDGET_BWD)
     sv = th * tw
     # reverse halo windows per query level
     rwin = [( _rev_extent(th, hj, hi, halo),
