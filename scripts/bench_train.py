@@ -44,6 +44,10 @@ def main():
                     help="MaskDINO encoder scales (4 = reference 4s yaml)")
     ap.add_argument("--reps", type=int, default=REPS,
                     help="in-jit scan repetitions per timed call")
+    ap.add_argument("--no-remat-encoder", action="store_true",
+                    help="keep encoder-layer activations instead of "
+                         "rematerializing (bs4 R-50 encoder activations "
+                         "are only ~28 MB/layer)")
     args = ap.parse_args()
     reps = args.reps
 
@@ -57,7 +61,7 @@ def main():
     cfg.INPUT.IMAGE_SIZE = args.image_size
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = args.encoder
     cfg.MODEL.SWIN.USE_CHECKPOINT = True
-    cfg.TPU.REMAT_ENCODER = True
+    cfg.TPU.REMAT_ENCODER = not args.no_remat_encoder
     # rolled scan over the deformable encoder layers: keeps the fwd+bwd
     # Pallas program small enough for the remote compile helper at 4-scale
     cfg.TPU.SCAN_ENC_UNROLL = 1

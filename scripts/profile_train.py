@@ -26,6 +26,13 @@ def main():
     ap.add_argument("--matcher", default="greedy")
     ap.add_argument("--point-mode", default="grid")
     ap.add_argument("--logdir", default="/tmp/vist_profile_train")
+    ap.add_argument("--maskdino", action="store_true")
+    ap.add_argument("--cross", default="dense",
+                    choices=["dense", "deformable"])
+    ap.add_argument("--backbone", default="swin",
+                    choices=["swin", "resnet"])
+    ap.add_argument("--levels", type=int, default=0,
+                    help="encoder scales (0 = config default)")
     args = ap.parse_args()
 
     from vision_instance_seg_tpu.config import get_cfg
@@ -43,6 +50,16 @@ def main():
     cfg.MODEL.MASK_FORMER.POINT_MODE = args.point_mode
     cfg.INPUT.MAX_INSTANCES = args.max_instances
     cfg.SOLVER.IMS_PER_BATCH = args.batch
+    if args.backbone == "resnet":
+        cfg.MODEL.BACKBONE.NAME = "resnet"
+    if args.maskdino:
+        cfg.MODEL.MASK_DINO.ENABLED = True
+        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = args.cross
+    if args.levels:
+        cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = args.levels
+    # match bench_train / the training CLIs: rolled encoder scan keeps the
+    # 4-scale fwd+bwd Pallas program within the compile helper's memory
+    cfg.TPU.SCAN_ENC_UNROLL = 1
     model = build_model(cfg)
 
     b, hw, m = args.batch, args.image_size, int(cfg.INPUT.MAX_INSTANCES)
@@ -54,9 +71,12 @@ def main():
                        opt_state=tx.init(params))
     masks = np.zeros((b, m, hw, hw), np.uint8)
     masks[:, 0, 100:300, 100:300] = 1
+    boxes = np.zeros((b, m, 4), np.float32)
+    boxes[:, 0] = [100.0, 100.0, 300.0, 300.0]
     batch = {"image": images,
              "gt_classes": jnp.zeros((b, m), jnp.int32),
              "gt_masks": jnp.asarray(masks),
+             "gt_boxes": jnp.asarray(boxes),
              "num_instances": jnp.ones((b,), jnp.int32)}
     step = make_train_step(cfg, model, tx)   # already jitted + donated
 
