@@ -963,6 +963,50 @@ def _encoder_level_bwd_v_pallas(g_levels, meta_by_q, vj_hw,
                 meta = jnp.pad(meta, ((0, tq - qh * qw), (0, 0)))
             loc = meta[:, :l2]
             aw = meta[:, l2:l2 + la]
+            if ONEHOT_MODE == "outer":
+                # factorized build, value-TILE-major with queries on lanes
+                # (the bwd mirror of the forward's outer branch): per point,
+                # a row two-hot (th, T_q) carrying aw-folded y weights and a
+                # col two-hot (tw, T_q), expanded by ONE broadcasted outer
+                # product into (th, tw, T_q). ~6x fewer VPU vreg-ops than
+                # the per-corner compare build on the (T_q, S_v) footprint;
+                # one bulk (T_q, 128) meta transpose per (level, tile).
+                # Padded T_q rows are zero (aw=0 -> zero two-hots) and the
+                # DMA'd windows are real memory, so no NaN sanitizing is
+                # needed. Rows/cols beyond the true level extent land in
+                # edge-tile regions the out BlockSpec crops on write.
+                metaT = meta.T                                # (128, T_q)
+                iota_th = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
+                iota_tw = jax.lax.broadcasted_iota(jnp.int32, (tw, 1), 0)
+                for h in range(nh):
+                    acc3 = jnp.zeros((th, tw, tq), jnp.float32)
+                    for pt in range(p):
+                        ai = h * p + pt
+                        x = metaT[2 * ai:2 * ai + 1, :] * wj - 0.5  # (1,Tq)
+                        y = metaT[2 * ai + 1:2 * ai + 2, :] * hj - 0.5
+                        xf = jnp.clip(jnp.floor(x), -2.0, float(wj))
+                        yf = jnp.clip(jnp.floor(y), -2.0, float(hj))
+                        lx = x - xf
+                        ly = y - yf
+                        ry0 = yf.astype(jnp.int32) - ty0
+                        rx0 = xf.astype(jnp.int32) - tx0
+                        a = metaT[l2 + ai:l2 + ai + 1, :]
+                        wy0 = (1.0 - ly) * a
+                        wy1 = ly * a
+                        yh = (jnp.where(iota_th == ry0, wy0, 0.0)
+                              + jnp.where(iota_th == ry0 + 1, wy1, 0.0))
+                        xh = (jnp.where(iota_tw == rx0, 1.0 - lx, 0.0)
+                              + jnp.where(iota_tw == rx0 + 1, lx, 0.0))
+                        acc3 = acc3 + yh[:, None, :] * xh[None, :, :]
+                    off = (h * hd) % lane
+                    gh = gw[(h * hd) // lane][:, off:off + hd]  # (T_q, hd)
+                    # NN matmul: contract the query axis (lanes of acc3,
+                    # sublanes of gh); result lands value-major (S_v, hd)
+                    acc[h] = acc[h] + jax.lax.dot_general(
+                        acc3.reshape(sv, tq).astype(gdtype), gh,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                continue
             for h in range(nh):
                 sel = jnp.zeros((tq, sv), jnp.float32)
                 for pt in range(p):
