@@ -361,3 +361,46 @@ def test_msdeformattn_module_applies_clamp():
     out_ref = mod_clamped.apply(params2, query, ref, value, shapes)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["outer", "compare"])
+def test_selection_build_modes_forward(monkeypatch, mode):
+    """Both selection-matrix builds — the factorized two-hot outer-product
+    (VIST_MSDEFORM_ONEHOT=outer, the default) and the legacy per-corner
+    iota-compare (=compare) — must match the jnp core exactly, so the env
+    escape hatch never rots."""
+    from vision_instance_seg_tpu.kernels import msdeform_attn as K
+
+    monkeypatch.setattr(K, "ONEHOT_MODE", mode)
+    value, loc, aw = _inputs(77)
+    want = ms_deform_attn_core_jnp(value, SHAPES, loc, aw)
+    got = K.ms_deform_attn_encoder_pallas(value, SHAPES, loc, aw,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["outer", "compare"])
+def test_selection_build_modes_backward(monkeypatch, mode):
+    """Blocked backward parity with the jnp VJP under BOTH selection
+    builds (the windowed fine-level dvalue kernel gained the factorized
+    build last; this pins the compare fallback too)."""
+    from vision_instance_seg_tpu.kernels import msdeform_attn as K
+
+    monkeypatch.setattr(K, "ONEHOT_MODE", mode)
+    shapes = [(8, 8), (4, 4), (2, 2)]
+    value, loc, aw = _inputs(78, shapes=shapes)
+    rng = np.random.default_rng(79)
+    q = sum(h * w for h, w in shapes)
+    g = jnp.asarray(rng.standard_normal(
+        (value.shape[0], q, NH * HD)).astype(np.float32))
+    got = K.ms_deform_attn_encoder_bwd_pallas(value, shapes, loc, aw, g,
+                                              interpret=True)
+    _, vjp = jax.vjp(
+        lambda v, l, w: ms_deform_attn_core_jnp(v, shapes, l, w),
+        value, loc, aw)
+    want = vjp(g)
+    for name, a, b in zip(("d_value", "d_loc", "d_aw"), got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
