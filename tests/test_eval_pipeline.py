@@ -353,6 +353,19 @@ def test_inference_fn_sorted_uint8_and_prefix_fetch():
         got = _fetch_prefix(out["mask_probs"], 1, need)
         np.testing.assert_array_equal(got, full[1, :need])
 
+    # batched variant: one slice covering every image's prefix at once
+    from vision_instance_seg_tpu.engine.evaluator import (
+        _batched_prefix_wins, _fetch_prefix_all)
+    for needs in ([3, 7], [0, full.shape[1]], [0, 0]):
+        got = _fetch_prefix_all(out["mask_probs"], needs)
+        assert len(got) == len(needs)
+        for b, n in enumerate(needs):
+            np.testing.assert_array_equal(got[b], full[b, :n])
+    # tunnel cost model: tiny rows (patches) -> batched always wins;
+    # huge rows with one deep prefix -> per-image chunk fetches win
+    assert _batched_prefix_wins([1, 1, 1], row_mb=0.004, k=100)
+    assert not _batched_prefix_wins([1] * 7 + [100], row_mb=1.0, k=100)
+
     # TEST.PATCH_POSTPROCESS (default on): per-instance patches emitted,
     # uint8, and exactly equal to zero-padded slices of the quantized map
     assert out["mask_patches"].dtype == jnp.uint8
@@ -497,3 +510,44 @@ def test_evaluator_patch_path_matches_full(mini_coco, eval_cfg):
         for key, v in res_plain[task].items():
             np.testing.assert_equal(res_patch[task][key], v)  # NaN-aware
     assert res_patch["segm"]["AP50"] == pytest.approx(100.0, abs=1e-4)
+
+
+def test_evaluator_device_fetch_paths_identical(mini_coco, eval_cfg,
+                                                monkeypatch):
+    """DEVICE-array outputs through both D2H strategies — async-prefetch
+    full fetch (default) and the cost-model batched/per-image slice
+    fetches (VIST_EVAL_PREFETCH=0) — must score identically to the
+    host-array patch path."""
+    import jax.numpy as jnp
+    from vision_instance_seg_tpu.models.meta_arch import (
+        _extract_mask_patches, _mask_support_boxes)
+
+    dicts = _register(mini_coco, "mini_eval_devfetch")
+    cfg = eval_cfg
+    cfg.TEST.BATCH_SIZE = 2
+    max_inst = max(len(d["annotations"]) for d in dicts)
+
+    def make_infer_device():
+        base = _gt_oracle(dicts, cfg, max_inst)   # stateful: one per run
+
+        def infer(params, images):
+            out = base(params, images)
+            probs = jnp.asarray(out["mask_probs"])
+            boxes = _mask_support_boxes(probs)
+            u8 = jnp.round(probs * 255).astype(jnp.uint8)
+            o, pt = _extract_mask_patches(u8, boxes, 8)
+            return {**{k: jnp.asarray(v) for k, v in out.items()
+                       if k != "mask_probs"},
+                    "mask_probs": u8, "mask_boxes": boxes,
+                    "patch_origin": o, "mask_patches": pt}
+        return infer
+
+    baseline = COCOEvaluator("mini_eval_devfetch", cfg).evaluate(
+        make_infer_device(), None)
+    monkeypatch.setenv("VIST_EVAL_PREFETCH", "0")
+    cost_model = COCOEvaluator("mini_eval_devfetch", cfg).evaluate(
+        make_infer_device(), None)
+    for task in ("bbox", "segm"):
+        for key, v in baseline[task].items():
+            np.testing.assert_equal(cost_model[task][key], v)
+    assert baseline["segm"]["AP50"] == pytest.approx(100.0, abs=1e-4)

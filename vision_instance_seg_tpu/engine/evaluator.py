@@ -58,6 +58,77 @@ def _fetch_prefix(mp, b: int, need: int) -> np.ndarray:
         [np.asarray(fetch(mp, b, j * chunk)) for j in range(n)])[:need]
 
 
+def _prefix_pad(k: int, max_need: int) -> int:
+    """Smallest chunk-grid length >= max_need (same chunk rule as
+    :func:`_fetch_prefix` so the compiled slice-shape variety stays
+    bounded at <= K/chunk executables)."""
+    chunk = next(c for c in range(min(16, k), k + 1) if k % c == 0)
+    return min(k, -(-max_need // chunk) * chunk)
+
+
+def _fetch_prefix_all(mp, needs) -> list:
+    """Batched D2H: rows [0, needs[b]) of ``mp[b]`` for EVERY b at once.
+
+    One static leading-prefix slice + one transfer instead of
+    ``sum(ceil(need/chunk))`` per-image chunk dispatches — on this
+    platform's tunnel each dispatch costs ~25 ms, which dominated the
+    per-image path (~50 round-trips per 8-image batch of patches). Costs
+    ``B * max(needs)`` rows of bytes instead of ``sum(needs)``; callers
+    pick between the two with the 25 ms/dispatch + 50 ms/MB cost model.
+    """
+    k = mp.shape[1]
+    tail = mp.shape[2:]
+    bsz = len(needs)
+    max_need = max(needs)
+    if max_need <= 0:
+        return [np.zeros((0,) + tail, mp.dtype) for _ in range(bsz)]
+    padded = _prefix_pad(k, max_need)
+    rows = np.asarray(mp[:bsz, :padded])
+    return [rows[i, :needs[i]] for i in range(bsz)]
+
+
+def _batched_prefix_wins(needs, row_mb: float, k: int) -> bool:
+    """Tunnel cost model: batched single-slice fetch vs per-image chunks.
+
+    per-image: ceil(need/16) dispatches each + sum(needs) rows of bytes;
+    batched:   2 dispatches (slice + transfer) + B * padded rows.
+    """
+    needs = [n for n in needs]
+    if max(needs, default=0) <= 0:
+        return True
+    per_img = (sum(-(-n // 16) for n in needs if n > 0) * 25.0
+               + sum(needs) * row_mb * 50.0)
+    padded = _prefix_pad(k, max(needs))
+    batched = 2 * 25.0 + len(needs) * padded * row_mb * 50.0
+    return batched <= per_img
+
+
+def _start_host_copies(out, skip=("mask_probs",)) -> bool:
+    """Enqueue async D2H of an inference-output tree's SMALL leaves.
+
+    Called right after the jit dispatch so the tunnel transfers of batch
+    n overlap the host postprocess of batch n-1 (the copies queue behind
+    the compute producing them). The full-resolution ``mask_probs``
+    tensor is skipped — it is fetched lazily per needed prefix/row.
+    Best-effort: platforms without ``copy_to_host_async`` just no-op
+    (returns False; callers then fall back to the cost-model sliced
+    fetches). Kill switch: ``VIST_EVAL_PREFETCH=0``.
+    """
+    import os
+    if os.environ.get("VIST_EVAL_PREFETCH", "1") == "0":
+        return False
+    ok = False
+    for key, v in out.items():
+        if key in skip or isinstance(v, np.ndarray):
+            continue
+        try:
+            v.copy_to_host_async()
+            ok = True
+        except (AttributeError, NotImplementedError, RuntimeError):
+            return False
+    return ok
+
+
 def _row_fetcher(mp, b: int):
     """Lazy single-row D2H: ``i -> np (Hm, Wm)`` of device array mp[b, i]
     (patch-postprocess fallback for instances that escape their patch)."""
@@ -355,7 +426,7 @@ class COCOEvaluator:
         t0 = time.time()
         n_images = 0
 
-        def host_postprocess(batch, out):
+        def host_postprocess(batch, out, prefetched=False):
             nonlocal n_images
             mp = out["mask_probs"]
             small = {k: np.asarray(v) for k, v in out.items()
@@ -380,14 +451,34 @@ class COCOEvaluator:
             use_patches = fast and "mask_patches" in out
             device_mp = not isinstance(mp, np.ndarray)
             if use_patches:
-                patch_np = [_fetch_prefix(out["mask_patches"], b, needs[b])
-                            for b in range(bsz)]
+                pt = out["mask_patches"]
+                row_mb = (pt.shape[2] * pt.shape[3]
+                          * pt.dtype.itemsize) / 1e6
+                if prefetched and not isinstance(pt, np.ndarray):
+                    # the async copy already moved (or is moving) the
+                    # whole tensor — reading it back is (near-)free and
+                    # overlapped the previous batch's host work
+                    full = np.asarray(pt)
+                    patch_np = [full[b, :needs[b]] for b in range(bsz)]
+                elif (isinstance(pt, np.ndarray)
+                        or _batched_prefix_wins(needs[:bsz], row_mb,
+                                                pt.shape[1])):
+                    patch_np = _fetch_prefix_all(pt, needs[:bsz])
+                else:
+                    patch_np = [_fetch_prefix(pt, b, needs[b])
+                                for b in range(bsz)]
                 probs = [None] * bsz
             elif not device_mp or sum(needs) * 2 >= bsz * mp.shape[1]:
                 mp_np = np.asarray(mp)          # little to skip: one bulk D2H
                 probs = [mp_np[b] for b in range(bsz)]
             else:
-                probs = [_fetch_prefix(mp, b, needs[b]) for b in range(bsz)]
+                row_mb = (mp.shape[2] * mp.shape[3]
+                          * mp.dtype.itemsize) / 1e6
+                if _batched_prefix_wins(needs[:bsz], row_mb, mp.shape[1]):
+                    probs = _fetch_prefix_all(mp, needs[:bsz])
+                else:
+                    probs = [_fetch_prefix(mp, b, needs[b])
+                             for b in range(bsz)]
             for b in range(bsz):
                 vh, vw = (int(batch["valid_hw"][b, 0]),
                           int(batch["valid_hw"][b, 1]))
@@ -445,9 +536,13 @@ class COCOEvaluator:
         pending = None
         for batch in loader:
             out = inference_fn(params, batch["image"])
+            # enqueue the small-leaf D2H now: the transfers queue behind
+            # this batch's compute and ride the tunnel WHILE the host
+            # postprocesses the previous batch
+            prefetched = _start_host_copies(out)
             if pending is not None:
                 host_postprocess(*pending)
-            pending = (batch, out)
+            pending = (batch, out, prefetched)
         if pending is not None:
             host_postprocess(*pending)
         dt = time.time() - t0
