@@ -18,3 +18,10 @@ Import as ``import vision_instance_seg_tpu as vist``.
 __version__ = "0.1.0"
 
 from vision_instance_seg_tpu.config import CfgNode, get_cfg  # noqa: F401
+
+# Persistent XLA compilation cache for every entrypoint that imports the
+# package (remote-helper compiles here cost 30 s - 16 min per process;
+# reloads are ~ms). Pure config-set, env-gated: VIST_JAX_CACHE=0 opts out.
+from vision_instance_seg_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
