@@ -39,12 +39,20 @@ def bench_infer(batch: int, iters: int, warmup: int = 3,
     from vision_instance_seg_tpu.models import build_model, normalize_image
 
     cfg = get_cfg()                       # Swin-T Mask2Former defaults
-    if opts:                              # trailing KEY VALUE overrides
-        cfg.merge_from_list(list(opts))
     cfg.INPUT.TEST_PAD_H = cfg.INPUT.TEST_PAD_W = image_hw
     # TPU-native flagship: windowed multi-scale encoder.
     # "deformable" keeps the reference-parity encoder for comparison runs.
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = encoder
+    if encoder == "window":
+        # flagship backbone windows are 8 (measured r3: 69.6 -> 74.6 img/s
+        # at 800px/batch 8 — ws=7's 49-token windows and 203-pad stage
+        # extents misalign every partition/merge copy with the 8-sublane
+        # tiling; 200 = 25x8 tiles exactly). Window-7 ImageNet checkpoints
+        # import via bicubic rel-pos interpolation (utils/weights.py,
+        # tested). Parity paths keep the reference's 7.
+        cfg.MODEL.SWIN.WINDOW_SIZE = 8
+    if opts:                              # trailing KEY VALUE overrides
+        cfg.merge_from_list(list(opts))
     if model_name == "maskdino":
         cfg.MODEL.MASK_DINO.ENABLED = True
         # TPU-native default is dense cross-attention; with the deformable

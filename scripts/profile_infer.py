@@ -41,6 +41,8 @@ def main():
     cfg = get_cfg()
     cfg.INPUT.TEST_PAD_H = cfg.INPUT.TEST_PAD_W = args.image_size
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = args.encoder
+    if args.encoder == "window":
+        cfg.MODEL.SWIN.WINDOW_SIZE = 8    # flagship default (bench.py)
     if args.backbone == "swin_b":
         cfg.MODEL.SWIN.EMBED_DIM = 128
         cfg.MODEL.SWIN.DEPTHS = [2, 2, 18, 2]
