@@ -142,3 +142,113 @@ class TestFusedWindowAttention:
         for a, b in zip(g_ref, g_pal):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+class TestWindowAttentionNHWC:
+    """NHWC fused partition+attention+merge kernel vs the jnp window path."""
+
+    def _ref(self, qkv, rel, scale, ws, shift):
+        from vision_instance_seg_tpu.kernels.window_attention import (
+            _wa_nhwc_jnp)
+        return _wa_nhwc_jnp(qkv, rel, scale, ws, shift)
+
+    def _run(self, b, hp, wp, nh, hd, ws, shift, seed=0):
+        from vision_instance_seg_tpu.kernels.window_attention import (
+            fused_window_attention_nhwc)
+
+        c = nh * hd
+        n = ws * ws
+        rng = np.random.default_rng(seed)
+        qkv = jnp.asarray(rng.normal(size=(b, hp, wp, 3 * c)), jnp.float32)
+        rel = jnp.asarray(rng.normal(size=(nh, n, n)), jnp.float32)
+        scale = hd ** -0.5
+        ref = self._ref(qkv, rel, scale, ws, shift)
+        got = fused_window_attention_nhwc(qkv, rel, scale,
+                                          (hp, wp, ws, shift),
+                                          interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_even_window_columns(self):
+        self._run(b=2, hp=16, wp=16, nh=2, hd=16, ws=8, shift=0)
+
+    def test_odd_window_columns_solo_tail(self):
+        self._run(b=1, hp=16, wp=24, nh=2, hd=16, ws=8, shift=0)
+
+    def test_shifted_regions(self):
+        self._run(b=1, hp=24, wp=24, nh=3, hd=8, ws=8, shift=4)
+
+    def test_shifted_odd_columns(self):
+        self._run(b=2, hp=16, wp=24, nh=1, hd=32, ws=8, shift=4)
+
+    def test_single_window_column(self):
+        self._run(b=1, hp=16, wp=8, nh=2, hd=16, ws=8, shift=0)
+
+    def test_gradients_match_reference(self):
+        from vision_instance_seg_tpu.kernels.window_attention import (
+            fused_window_attention_nhwc)
+
+        b, hp, wp, nh, hd, ws, shift = 1, 16, 16, 2, 8, 8, 4
+        c = nh * hd
+        n = ws * ws
+        rng = np.random.default_rng(5)
+        qkv = jnp.asarray(rng.normal(size=(b, hp, wp, 3 * c)), jnp.float32)
+        rel = jnp.asarray(rng.normal(size=(nh, n, n)), jnp.float32)
+        scale = hd ** -0.5
+
+        def loss_ref(qkv, rel):
+            return jnp.sum(self._ref(qkv, rel, scale, ws, shift) ** 2)
+
+        def loss_pal(qkv, rel):
+            return jnp.sum(fused_window_attention_nhwc(
+                qkv, rel, scale, (hp, wp, ws, shift), interpret=True) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, rel)
+        g_pal = jax.grad(loss_pal, argnums=(0, 1))(qkv, rel)
+        for a, b_ in zip(g_pal, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-3)
+
+
+class TestSwinBlockNHWC:
+    """SwinBlock with the NHWC attn_fn == plain SwinBlock, same params."""
+
+    @pytest.mark.parametrize("shift", [0, 4])
+    def test_matches_plain_block(self, shift):
+        import functools as ft
+
+        from vision_instance_seg_tpu.kernels import window_attention as wa
+        from vision_instance_seg_tpu.models.swin import SwinBlock
+
+        orig = wa.fused_window_attention_nhwc
+        interp = ft.wraps(orig)(ft.partial(orig, interpret=True))
+        interp.wants_nhwc = True
+        kw = dict(dim=32, num_heads=2, window_size=8, shift_size=shift)
+        plain = SwinBlock(**kw)
+        fused = SwinBlock(attn_fn=interp, **kw)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 32)), jnp.float32)
+        params = plain.init(jax.random.PRNGKey(0), x)
+        ref = plain.apply(params, x)
+        # same param tree drives the fused module (identical Dense names)
+        got = fused.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_non_multiple_of_8_falls_back(self):
+        """ws=7 + NHWC attn_fn must silently use the jnp token path."""
+        from vision_instance_seg_tpu.kernels.window_attention import (
+            fused_window_attention_nhwc)
+        from vision_instance_seg_tpu.models.swin import SwinBlock
+
+        kw = dict(dim=16, num_heads=2, window_size=7, shift_size=3)
+        plain = SwinBlock(**kw)
+        fused = SwinBlock(attn_fn=fused_window_attention_nhwc, **kw)
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(1, 14, 14, 16)), jnp.float32)
+        params = plain.init(jax.random.PRNGKey(0), x)
+        ref = plain.apply(params, x)
+        got = fused.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

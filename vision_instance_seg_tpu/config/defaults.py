@@ -280,6 +280,15 @@ def get_cfg() -> CN:
     # grid-step-overhead-bound at these tiny 49x32 tiles) -> default False.
     # The kernel stays available for experimentation (golden-tested).
     _C.TPU.USE_PALLAS_WINDOW_ATTN = False
+    # kernels/window_attention.py fused NHWC path: partition + attention +
+    # merge in ONE Pallas kernel consuming the raw (B, Hp, Wp, 3C) qkv map —
+    # the stage-1/2 window partition/merge layout copies named in the
+    # docs/PERF.md roofline never touch HBM. Backbone only; requires
+    # MODEL.SWIN.WINDOW_SIZE % 8 == 0 (sublane alignment) — blocks with
+    # other window sizes fall back to the jnp path. Parameters are
+    # identical to the jnp path (same qkv/proj Denses), so checkpoints and
+    # TP shardings are unaffected. Default pending TPU measurement.
+    _C.TPU.WINDOW_ATTN_NHWC = False
     # kernels/msdeform_attn.py — blocked halo-window Pallas kernel for the
     # deformable encoder (6.4 ms/img at 800px/13k tokens vs ~38 ms/layer
     # for the XLA-gather jnp core); golden-tested vs the jnp core, which

@@ -366,3 +366,237 @@ def fused_window_attention(q, k, v, rel_bias,
 
 
 fused_window_attention.wants_geometry = True
+
+
+# ---------------------------------------------------------------------------
+# NHWC fused path: partition + attention + merge in ONE kernel.
+#
+# The packed kernel above still requires the (B,H,W,C) -> (nWt, N, C) window
+# partition/unpartition HBM copies and the 5-D qkv head-split transpose in
+# models/swin.py — exactly the "stage-1/2 window partition/merge LAYOUT
+# traffic" the docs/PERF.md roofline names as the flagship's open headroom
+# item (~0.6 GB touched per stage-1 fusion pair at batch 8). This variant
+# removes them: the qkv/proj Denses run directly on the NHWC map (identical
+# parameters), and the kernel consumes the raw (B, Hp, Wp, 3C) qkv tensor —
+# windows are formed in VMEM from 8-aligned sublane slices, so window
+# geometry never touches HBM at all.
+#
+# Requires ws % 8 == 0 (window column slices ride the 8-row sublane tiling;
+# the flagship's WINDOW_SIZE=8 satisfies it, reference-parity ws=7 configs
+# keep the jnp path). Two windows of one head are packed per 128-row MXU
+# tile as in ``_attn_pair_kernel``; shifted-window region masks are derived
+# in-kernel from geometry (input arrives pre-rolled, as in the jnp path).
+# ---------------------------------------------------------------------------
+
+
+def _wa_nhwc_kernel(qkv_ref, rel_ref, out_ref, *, c: int, nh: int, ws: int,
+                    shift: int, hp: int, wp: int, scale: float):
+    """One grid step = one row of windows, all heads.
+
+    qkv_ref: (1, ws, Wp, 3C); rel_ref: (nH, N, N) f32 (grid-resident);
+    out_ref: (1, ws, Wp, C). N = ws*ws; window w covers sublane columns
+    [w*ws, (w+1)*ws) — 8-aligned because ws % 8 == 0.
+    """
+    hd = c // nh
+    n = ws * ws
+    nww = wp // ws
+    ti = pl.program_id(1)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 1)
+    same_window = (rows // n) == (cols // n)
+
+    def region_labels(w0, nrows):
+        """(nrows, 1) int32 shifted-region id per packed token row (windows
+        w0, w0+1); replicates models/swin.py ``_shift_attn_mask`` labels at
+        rolled coordinates."""
+        r = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
+        slot = r // n
+        t = r % n
+        wj = w0 + slot
+        gy = ti * ws + t // ws
+        gx = wj * ws + t % ws
+        ry = ((gy >= hp - ws).astype(jnp.int32)
+              + (gy >= hp - shift).astype(jnp.int32))
+        rx = ((gx >= wp - ws).astype(jnp.int32)
+              + (gx >= wp - shift).astype(jnp.int32))
+        return 3 * ry + rx
+
+    def attend(xw, keep, rel):
+        """xw (nrows, 3C) packed tokens -> (nrows, C) attention output."""
+        outs = []
+        for h in range(nh):
+            q = xw[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+            k = xw[:, c + h * hd:c + (h + 1) * hd].astype(jnp.float32)
+            v = xw[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + jnp.where(keep, rel[h], NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_ref.dtype))
+        return jnp.concatenate(outs, axis=-1)               # (nrows, C)
+
+    # per-head 2x2-tiled bias, hoisted out of the window loop
+    rel2 = [None] * nh
+    if nww >= 2:
+        for h in range(nh):
+            r1 = rel_ref[h]                                 # (N, N) f32
+            rel2[h] = jnp.concatenate(
+                [jnp.concatenate([r1, r1], 1)] * 2, 0)      # (2N, 2N)
+
+    for w0 in range(0, nww - 1, 2):                         # window pairs
+        x0 = qkv_ref[0, :, w0 * ws:(w0 + 1) * ws, :].reshape(n, 3 * c)
+        x1 = qkv_ref[0, :, (w0 + 1) * ws:(w0 + 2) * ws, :].reshape(n, 3 * c)
+        xw = jnp.concatenate([x0, x1], axis=0)              # (2N, 3C)
+        keep = same_window
+        if shift > 0:
+            lab = region_labels(w0, 2 * n)
+            keep = keep & (lab == lab.reshape(1, 2 * n))
+        o = attend(xw, keep, rel2)                          # (2N, C)
+        out_ref[0, :, w0 * ws:(w0 + 1) * ws, :] = o[:n].reshape(ws, ws, c)
+        out_ref[0, :, (w0 + 1) * ws:(w0 + 2) * ws, :] = (
+            o[n:].reshape(ws, ws, c))
+
+    if nww % 2:                                             # solo tail window
+        w0 = nww - 1
+        xw = qkv_ref[0, :, w0 * ws:(w0 + 1) * ws, :].reshape(n, 3 * c)
+        keep = jnp.full((n, n), True)
+        if shift > 0:
+            lab = region_labels(w0, n)
+            keep = lab == lab.reshape(1, n)
+        rel1 = [rel_ref[h] for h in range(nh)]
+        o = attend(xw, keep, rel1)                          # (N, C)
+        out_ref[0, :, w0 * ws:(w0 + 1) * ws, :] = o.reshape(ws, ws, c)
+
+
+def _wa_nhwc_impl(qkv, rel_bias, *, ws: int, shift: int, scale: float,
+                  interpret: bool = False):
+    b, hp, wp, c3 = qkv.shape
+    c = c3 // 3
+    nh = rel_bias.shape[0]
+    n = ws * ws
+    assert ws % 8 == 0 and hp % ws == 0 and wp % ws == 0, (ws, hp, wp)
+    grid = (b, hp // ws)
+    imap_in = lambda bi, ti: (bi, ti, 0, 0)
+    nww = wp // ws
+    return pl.pallas_call(
+        functools.partial(_wa_nhwc_kernel, c=c, nh=nh, ws=ws, shift=shift,
+                          hp=hp, wp=wp, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ws, wp, c3), imap_in, memory_space=pltpu.VMEM),
+            # constant index map -> the bias stays VMEM-resident across steps
+            pl.BlockSpec((nh, n, n), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ws, wp, c), imap_in,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=b * (hp // ws) * nww * nh * 4 * n * n * (c // nh),
+            bytes_accessed=(qkv.size * qkv.dtype.itemsize
+                            + b * hp * wp * c * qkv.dtype.itemsize
+                            + rel_bias.size * 4),
+            transcendentals=b * hp * wp * n),
+        interpret=interpret,
+    )(qkv, rel_bias.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _wa_nhwc(qkv, rel_bias, scale, ws, shift, interpret):
+    return _wa_nhwc_impl(qkv, rel_bias, ws=ws, shift=shift, scale=scale,
+                         interpret=interpret)
+
+
+def _wa_nhwc_fwd(qkv, rel_bias, scale, ws, shift, interpret):
+    out = _wa_nhwc(qkv, rel_bias, scale, ws, shift, interpret)
+    return out, (qkv, rel_bias)
+
+
+def _wa_nhwc_bwd(scale, ws, shift, interpret, res, g):
+    """jnp backward (recomputed attention — no residual attn matrix)."""
+    from vision_instance_seg_tpu.models.swin import (
+        _shift_attn_mask, window_partition, window_unpartition)
+
+    qkv, rel_bias = res
+    b, hp, wp, c3 = qkv.shape
+    c = c3 // 3
+    nh = rel_bias.shape[0]
+    hd = c // nh
+    n = ws * ws
+    xw = window_partition(qkv.astype(jnp.float32), ws)      # (nWt, N, 3C)
+    nwt = xw.shape[0]
+    q = xw[..., :c].reshape(nwt, n, nh, hd)
+    k = xw[..., c:2 * c].reshape(nwt, n, nh, hd)
+    v = xw[..., 2 * c:].reshape(nwt, n, nh, hd)
+    gw = window_partition(g.astype(jnp.float32), ws).reshape(nwt, n, nh, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    s = s + rel_bias[None].astype(jnp.float32)
+    if shift > 0:
+        nw = (hp // ws) * (wp // ws)
+        m = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
+        s = (s.reshape(nwt // nw, nw, nh, n, n) + m[None, :, None]
+             ).reshape(nwt, nh, n, n)
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gw)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gw, v)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q) * scale
+    drel = ds.sum(0)                                        # (nH, N, N)
+    dxw = jnp.concatenate([dq.reshape(nwt, n, c), dk.reshape(nwt, n, c),
+                           dv.reshape(nwt, n, c)], axis=-1)
+    dqkv = window_unpartition(dxw, ws, hp, wp)
+    return dqkv.astype(qkv.dtype), drel.astype(rel_bias.dtype)
+
+
+_wa_nhwc.defvjp(_wa_nhwc_fwd, _wa_nhwc_bwd)
+
+
+def _wa_nhwc_jnp(qkv, rel_bias, scale, ws, shift):
+    """jnp reference of the NHWC contract (CPU fallback + test golden)."""
+    from vision_instance_seg_tpu.models.swin import (
+        _shift_attn_mask, _window_attention_nhd, window_partition,
+        window_unpartition)
+
+    b, hp, wp, c3 = qkv.shape
+    c = c3 // 3
+    nh = rel_bias.shape[0]
+    hd = c // nh
+    n = ws * ws
+    xw = window_partition(qkv, ws)                          # (nWt, N, 3C)
+    nwt = xw.shape[0]
+    q = xw[..., :c].reshape(nwt, n, nh, hd)
+    k = xw[..., c:2 * c].reshape(nwt, n, nh, hd)
+    v = xw[..., 2 * c:].reshape(nwt, n, nh, hd)
+    mask = (jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
+            if shift > 0 else None)
+    out = _window_attention_nhd(q, k, v, rel_bias, mask, scale)
+    return window_unpartition(out.reshape(nwt, n, c), ws, hp, wp)
+
+
+def fused_window_attention_nhwc(qkv, rel_bias, scale, geometry,
+                                interpret: bool = False):
+    """NHWC window attention: qkv (B, Hp, Wp, 3C) straight from the fused
+    qkv Dense (pre-rolled when shifted), rel_bias (nH, N, N), geometry =
+    (Hp, Wp, ws, shift). Returns (B, Hp, Wp, C). Differentiable (custom
+    VJP: Pallas forward, recomputed-attention jnp backward).
+
+    models/swin.py dispatches here via ``wants_nhwc`` — the window
+    partition/unpartition copies and qkv head-split transpose of the
+    token-major paths are skipped entirely. Off-TPU (CPU tests, the
+    multichip dryrun) the numerically-equivalent jnp path runs instead.
+    """
+    hp, wp, ws, shift = geometry
+    assert qkv.shape[1] == hp and qkv.shape[2] == wp, (qkv.shape, geometry)
+    if not interpret and jax.default_backend() != "tpu":
+        return _wa_nhwc_jnp(qkv, rel_bias, float(scale), int(ws), int(shift))
+    return _wa_nhwc(qkv, rel_bias, float(scale), int(ws), int(shift),
+                    bool(interpret))
+
+
+fused_window_attention_nhwc.wants_nhwc = True

@@ -83,6 +83,14 @@ def build_model(cfg, dtype=None, window_attn_fn=None, deform_core_fn=None
             window_attn_fn = fused_window_attention
         except ImportError:
             window_attn_fn = None
+    # NHWC fused partition+attention+merge kernel — backbone only (the
+    # window-encoder attn_fn contract is token-major); SwinBlock falls back
+    # to the jnp path for window sizes that are not multiples of 8
+    swin_attn_fn = window_attn_fn
+    if window_attn_fn is None and cfg.TPU.WINDOW_ATTN_NHWC:
+        from vision_instance_seg_tpu.kernels.window_attention import (
+            fused_window_attention_nhwc)
+        swin_attn_fn = fused_window_attention_nhwc
     if deform_core_fn is None and cfg.TPU.USE_PALLAS_DEFORM_ATTN:
         # fused_ms_deform_attn itself dispatches: blocked Pallas kernel for
         # grid-aligned encoder queries on TPU, jnp core otherwise (CPU
@@ -91,7 +99,7 @@ def build_model(cfg, dtype=None, window_attn_fn=None, deform_core_fn=None
             fused_ms_deform_attn)
         deform_core_fn = fused_ms_deform_attn
     if cfg.MODEL.BACKBONE.NAME == "swin":
-        backbone = build_swin(cfg, dtype=dtype, attn_fn=window_attn_fn)
+        backbone = build_swin(cfg, dtype=dtype, attn_fn=swin_attn_fn)
     elif cfg.MODEL.BACKBONE.NAME == "resnet":
         backbone = build_resnet(cfg, dtype=dtype)
     else:

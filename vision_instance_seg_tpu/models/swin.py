@@ -150,9 +150,12 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
                  num_windows: int, geometry=None) -> jnp.ndarray:
-        # x: (nW_total, N, C); mask: (nW, N, N) or None;
+        # x: (nW_total, N, C) token-major, or (B, Hp, Wp, C) NHWC when
+        # attn_fn.wants_nhwc (the fused partition+attention+merge kernel);
+        # mask: (nW, N, N) or None;
         # geometry (Hp, Wp, ws, shift): passed to mask-free kernels
-        nwt, n, c = x.shape
+        n = self.window_size * self.window_size
+        c = x.shape[-1]
         nh = self.num_heads
         hd = c // nh
         scale = self.qk_scale or hd ** -0.5
@@ -164,9 +167,26 @@ class WindowAttention(nn.Module):
         bias = table[rel_idx.reshape(-1)].reshape(n, n, nh)
         bias = bias.transpose(2, 0, 1)                   # nH, N, N
 
+        if x.ndim == 4:
+            # NHWC fused path: qkv/proj run on the (B, Hp, Wp, C) map
+            # (identical params — Dense acts on the last axis either way);
+            # windows are formed in VMEM by the kernel, so the
+            # partition/unpartition HBM copies never happen.
+            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                           kernel_init=trunc_normal_init(), name="qkv")(x)
+            out = self.attn_fn(qkv, bias, scale, geometry)
+            return nn.Dense(c, dtype=self.dtype,
+                            kernel_init=trunc_normal_init(),
+                            name="proj")(out)
+
+        nwt = x.shape[0]
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init(), name="qkv")(x)
-        if self.attn_fn is None:
+        # an NHWC-only kernel can't take token-major operands (SwinBlock
+        # falls back here when ws % 8 != 0) — use the default jnp path
+        attn_fn = (None if getattr(self.attn_fn, "wants_nhwc", False)
+                   else self.attn_fn)
+        if attn_fn is None:
             # default jnp path, transpose-free: the 5-D qkv transpose to
             # (3, nWt, nH, N, hd) materialized a full copy of the stage-1
             # tensor (bf16[6728,49,3,3,32], ~3 ms/call at 800px profiled
@@ -181,12 +201,12 @@ class WindowAttention(nn.Module):
         else:
             qkv = qkv.reshape(nwt, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]             # (nWt, nH, N, hd)
-            if geometry is not None and getattr(self.attn_fn,
+            if geometry is not None and getattr(attn_fn,
                                                 "wants_geometry", False):
-                attn = self.attn_fn(q, k, v, bias, None, scale, num_windows,
-                                    geometry=geometry)
+                attn = attn_fn(q, k, v, bias, None, scale, num_windows,
+                               geometry=geometry)
             else:
-                attn = self.attn_fn(q, k, v, bias, mask, scale, num_windows)
+                attn = attn_fn(q, k, v, bias, mask, scale, num_windows)
             out = attn.transpose(0, 2, 1, 3).reshape(nwt, n, c)
         return nn.Dense(c, dtype=self.dtype, kernel_init=trunc_normal_init(),
                         name="proj")(out)
@@ -216,20 +236,26 @@ class SwinBlock(nn.Module):
         shortcut = x
         x = LayerNorm(dtype=self.dtype, name="norm1")(x)
         use_geo = getattr(self.attn_fn, "wants_geometry", False)
+        use_nhwc = getattr(self.attn_fn, "wants_nhwc", False) and ws % 8 == 0
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
             # geometry-aware kernels derive the region mask in-kernel
-            mask = None if use_geo else jnp.asarray(
+            mask = None if (use_geo or use_nhwc) else jnp.asarray(
                 _shift_attn_mask(h, w, ws, shift))
         else:
             mask = None
-        xw = window_partition(x, ws)
-        xw = WindowAttention(
+        attn = WindowAttention(
             self.dim, self.num_heads, ws, self.qkv_bias, self.qk_scale,
-            dtype=self.dtype, attn_fn=self.attn_fn, name="attn")(
-            xw, mask, (h // ws) * (w // ws),
-            geometry=(h, w, ws, shift) if use_geo else None)
-        x = window_unpartition(xw, ws, h, w)
+            dtype=self.dtype, attn_fn=self.attn_fn, name="attn")
+        if use_nhwc:
+            # fused partition+attention+merge kernel: stays NHWC end to end
+            x = attn(x, None, (h // ws) * (w // ws),
+                     geometry=(h, w, ws, shift))
+        else:
+            xw = window_partition(x, ws)
+            xw = attn(xw, mask, (h // ws) * (w // ws),
+                      geometry=(h, w, ws, shift) if use_geo else None)
+            x = window_unpartition(xw, ws, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = shortcut + DropPath(self.drop_path)(x, deterministic,
