@@ -252,3 +252,101 @@ class TestSwinBlockNHWC:
         got = fused.apply(params, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+class TestWindowAttentionNHWCSplit:
+    """Split-qkv NHWC kernel (window-encoder contract) vs the jnp path."""
+
+    def _run(self, b, h, w, nh, hd, ws, shift, seed=0):
+        from vision_instance_seg_tpu.kernels.window_attention import (
+            _wa_nhwc_split_jnp, fused_window_attention_nhwc_split)
+
+        c = nh * hd
+        n = ws * ws
+        hp, wp = -(-h // ws) * ws, -(-w // ws) * ws
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.normal(size=(b, hp, wp, c)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, hp, wp, c)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, hp, wp, c)), jnp.float32)
+        rel = jnp.asarray(rng.normal(size=(nh, n, n)), jnp.float32)
+        scale = hd ** -0.5
+        pad = None if (hp, wp) == (h, w) else (h, w)
+        ref = _wa_nhwc_split_jnp(q, k, v, rel, scale, ws, shift, pad)
+        got = fused_window_attention_nhwc_split(
+            q, k, v, rel, scale, (hp, wp, ws, shift), pad_hw=(h, w),
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_no_pad_no_shift(self):
+        self._run(b=2, h=16, w=16, nh=2, hd=16, ws=8, shift=0)
+
+    def test_pad_masks_real_tokens(self):
+        self._run(b=1, h=13, w=21, nh=2, hd=16, ws=8, shift=0)
+
+    def test_pad_and_shift(self):
+        self._run(b=1, h=13, w=21, nh=2, hd=16, ws=8, shift=4)
+
+    def test_shift_no_pad(self):
+        self._run(b=2, h=24, w=16, nh=3, hd=8, ws=8, shift=4)
+
+    def test_gradients_match_reference(self):
+        from vision_instance_seg_tpu.kernels.window_attention import (
+            _wa_nhwc_split_jnp, fused_window_attention_nhwc_split)
+
+        b, h, w, nh, hd, ws, shift = 1, 13, 16, 2, 8, 8, 4
+        c = nh * hd
+        n = ws * ws
+        hp, wp = 16, 16
+        rng = np.random.default_rng(11)
+        q = jnp.asarray(rng.normal(size=(b, hp, wp, c)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, hp, wp, c)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, hp, wp, c)), jnp.float32)
+        rel = jnp.asarray(rng.normal(size=(nh, n, n)), jnp.float32)
+        scale = hd ** -0.5
+
+        def loss_ref(q, k, v, rel):
+            return jnp.sum(_wa_nhwc_split_jnp(
+                q, k, v, rel, scale, ws, shift, (h, w)) ** 2)
+
+        def loss_pal(q, k, v, rel):
+            return jnp.sum(fused_window_attention_nhwc_split(
+                q, k, v, rel, scale, (hp, wp, ws, shift), pad_hw=(h, w),
+                interpret=True) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, rel)
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(q, k, v, rel)
+        for a, b_ in zip(g_pal, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-3)
+
+
+class TestWindowEncoderLayerNHWC:
+    """WindowEncoderLayer with the split NHWC attn_fn == plain layer."""
+
+    @pytest.mark.parametrize("shifted", [False, True])
+    def test_matches_plain_layer(self, shifted):
+        import functools as ft
+
+        from vision_instance_seg_tpu.kernels import window_attention as wa
+        from vision_instance_seg_tpu.models.pixel_decoder import (
+            WindowEncoderLayer)
+
+        orig = wa.fused_window_attention_nhwc_split
+        interp = ft.wraps(orig)(ft.partial(orig, interpret=True))
+        interp.wants_nhwc = True
+        kw = dict(dim=32, num_heads=2, ffn_dim=64, window_size=8,
+                  shift=shifted)
+        plain = WindowEncoderLayer(**kw)
+        fused = WindowEncoderLayer(attn_fn=interp, **kw)
+        shapes = ((13, 21), (7, 11))
+        s = sum(h * w for h, w in shapes)
+        rng = np.random.default_rng(13)
+        src = jnp.asarray(rng.normal(size=(1, s, 32)), jnp.float32)
+        pos = jnp.asarray(rng.normal(size=(1, s, 32)), jnp.float32)
+        params = plain.init(jax.random.PRNGKey(0), src, pos, None, shapes)
+        ref = plain.apply(params, src, pos, None, shapes)
+        got = fused.apply(params, src, pos, None, shapes)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)

@@ -389,14 +389,26 @@ fused_window_attention.wants_geometry = True
 # ---------------------------------------------------------------------------
 
 
-def _wa_nhwc_kernel(qkv_ref, rel_ref, out_ref, *, c: int, nh: int, ws: int,
-                    shift: int, hp: int, wp: int, scale: float):
+def _wa_nhwc_kernel(*refs, c: int, nh: int, ws: int, shift: int, hp: int,
+                    wp: int, scale: float, split_qkv: bool, pad_hw):
     """One grid step = one row of windows, all heads.
 
-    qkv_ref: (1, ws, Wp, 3C); rel_ref: (nH, N, N) f32 (grid-resident);
-    out_ref: (1, ws, Wp, C). N = ws*ws; window w covers sublane columns
-    [w*ws, (w+1)*ws) — 8-aligned because ws % 8 == 0.
+    Inputs (``split_qkv=False``): qkv_ref (1, ws, Wp, 3C) — the backbone's
+    fused qkv Dense output; (``split_qkv=True``): q/k/v_ref (1, ws, Wp, C)
+    each — the window encoder's separate q/k/v projections. rel_ref
+    (nH, N, N) f32 is grid-resident; out_ref (1, ws, Wp, C). N = ws*ws;
+    window w covers sublane columns [w*ws, (w+1)*ws) — 8-aligned because
+    ws % 8 == 0.
+
+    ``pad_hw=(h, w)`` masks canvas-padding tokens exactly like
+    models/pixel_decoder.py ``_window_pad_shift_mask`` (pad labels are
+    evaluated at pre-roll coordinates); None reproduces the backbone's
+    ``_shift_attn_mask`` semantics (padded tokens attend like real ones).
     """
+    if split_qkv:
+        q_ref, k_ref, v_ref, rel_ref, out_ref = refs
+    else:
+        qkv_ref, rel_ref, out_ref = refs
     hd = c // nh
     n = ws * ws
     nww = wp // ws
@@ -405,30 +417,61 @@ def _wa_nhwc_kernel(qkv_ref, rel_ref, out_ref, *, c: int, nh: int, ws: int,
     rows = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 1)
     same_window = (rows // n) == (cols // n)
+    need_labels = shift > 0 or pad_hw is not None
 
     def region_labels(w0, nrows):
-        """(nrows, 1) int32 shifted-region id per packed token row (windows
-        w0, w0+1); replicates models/swin.py ``_shift_attn_mask`` labels at
-        rolled coordinates."""
+        """(nrows, 1) int32 region id per packed token row (windows w0,
+        w0+1): 3*ry+rx shifted-region labels at rolled coordinates
+        (models/swin.py ``_shift_attn_mask``) plus 10*pad for canvas
+        padding at pre-roll coordinates (pixel_decoder
+        ``_window_pad_shift_mask``)."""
         r = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
         slot = r // n
         t = r % n
         wj = w0 + slot
         gy = ti * ws + t // ws
         gx = wj * ws + t % ws
-        ry = ((gy >= hp - ws).astype(jnp.int32)
-              + (gy >= hp - shift).astype(jnp.int32))
-        rx = ((gx >= wp - ws).astype(jnp.int32)
-              + (gx >= wp - shift).astype(jnp.int32))
-        return 3 * ry + rx
+        lab = jnp.zeros_like(gy)
+        if shift > 0:
+            ry = ((gy >= hp - ws).astype(jnp.int32)
+                  + (gy >= hp - shift).astype(jnp.int32))
+            rx = ((gx >= wp - ws).astype(jnp.int32)
+                  + (gx >= wp - shift).astype(jnp.int32))
+            lab = 3 * ry + rx
+        if pad_hw is not None:
+            h_r, w_r = pad_hw
+            oy = gy + shift
+            oy = jnp.where(oy >= hp, oy - hp, oy)   # pre-roll coordinates
+            ox = gx + shift
+            ox = jnp.where(ox >= wp, ox - wp, ox)
+            pad = ((oy >= h_r) | (ox >= w_r)).astype(jnp.int32)
+            lab = lab + 10 * pad
+        return lab
 
-    def attend(xw, keep, rel):
-        """xw (nrows, 3C) packed tokens -> (nrows, C) attention output."""
+    def window(ref, w0):
+        """(N, C') token-major view of window w0 from an NHWC row block."""
+        return ref[0, :, w0 * ws:(w0 + 1) * ws, :].reshape(n, -1)
+
+    def load(w0, wn):
+        """q/k/v of windows [w0, w0+wn) packed into (wn*N, C) each."""
+        if split_qkv:
+            parts = [(window(q_ref, w0 + i), window(k_ref, w0 + i),
+                      window(v_ref, w0 + i)) for i in range(wn)]
+        else:
+            xs = [window(qkv_ref, w0 + i) for i in range(wn)]
+            parts = [(x[:, :c], x[:, c:2 * c], x[:, 2 * c:]) for x in xs]
+        if wn == 1:
+            return parts[0]
+        return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                     for i in range(3))
+
+    def attend(qw, kw, vw, keep, rel):
+        """(nrows, C) q/k/v -> (nrows, C) attention output."""
         outs = []
         for h in range(nh):
-            q = xw[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
-            k = xw[:, c + h * hd:c + (h + 1) * hd].astype(jnp.float32)
-            v = xw[:, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            q = qw[:, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+            k = kw[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+            v = vw[:, h * hd:(h + 1) * hd]
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s + jnp.where(keep, rel[h], NEG_INF)
@@ -449,66 +492,70 @@ def _wa_nhwc_kernel(qkv_ref, rel_ref, out_ref, *, c: int, nh: int, ws: int,
                 [jnp.concatenate([r1, r1], 1)] * 2, 0)      # (2N, 2N)
 
     for w0 in range(0, nww - 1, 2):                         # window pairs
-        x0 = qkv_ref[0, :, w0 * ws:(w0 + 1) * ws, :].reshape(n, 3 * c)
-        x1 = qkv_ref[0, :, (w0 + 1) * ws:(w0 + 2) * ws, :].reshape(n, 3 * c)
-        xw = jnp.concatenate([x0, x1], axis=0)              # (2N, 3C)
+        qw, kw, vw = load(w0, 2)
         keep = same_window
-        if shift > 0:
+        if need_labels:
             lab = region_labels(w0, 2 * n)
             keep = keep & (lab == lab.reshape(1, 2 * n))
-        o = attend(xw, keep, rel2)                          # (2N, C)
+        o = attend(qw, kw, vw, keep, rel2)                  # (2N, C)
         out_ref[0, :, w0 * ws:(w0 + 1) * ws, :] = o[:n].reshape(ws, ws, c)
         out_ref[0, :, (w0 + 1) * ws:(w0 + 2) * ws, :] = (
             o[n:].reshape(ws, ws, c))
 
     if nww % 2:                                             # solo tail window
         w0 = nww - 1
-        xw = qkv_ref[0, :, w0 * ws:(w0 + 1) * ws, :].reshape(n, 3 * c)
+        qw, kw, vw = load(w0, 1)
         keep = jnp.full((n, n), True)
-        if shift > 0:
+        if need_labels:
             lab = region_labels(w0, n)
             keep = lab == lab.reshape(1, n)
         rel1 = [rel_ref[h] for h in range(nh)]
-        o = attend(xw, keep, rel1)                          # (N, C)
+        o = attend(qw, kw, vw, keep, rel1)                  # (N, C)
         out_ref[0, :, w0 * ws:(w0 + 1) * ws, :] = o.reshape(ws, ws, c)
 
 
-def _wa_nhwc_impl(qkv, rel_bias, *, ws: int, shift: int, scale: float,
-                  interpret: bool = False):
-    b, hp, wp, c3 = qkv.shape
-    c = c3 // 3
+def _wa_nhwc_impl(operands, rel_bias, *, ws: int, shift: int, scale: float,
+                  pad_hw=None, interpret: bool = False):
+    """operands: (qkv,) fused or (q, k, v) split, each (B, Hp, Wp, *)."""
+    split_qkv = len(operands) == 3
+    b, hp, wp, cx = operands[0].shape
+    c = cx if split_qkv else cx // 3
     nh = rel_bias.shape[0]
     n = ws * ws
     assert ws % 8 == 0 and hp % ws == 0 and wp % ws == 0, (ws, hp, wp)
     grid = (b, hp // ws)
     imap_in = lambda bi, ti: (bi, ti, 0, 0)
     nww = wp // ws
+    dt = operands[0].dtype
     return pl.pallas_call(
         functools.partial(_wa_nhwc_kernel, c=c, nh=nh, ws=ws, shift=shift,
-                          hp=hp, wp=wp, scale=scale),
+                          hp=hp, wp=wp, scale=scale, split_qkv=split_qkv,
+                          pad_hw=pad_hw),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, ws, wp, c3), imap_in, memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec((1, ws, wp, op.shape[-1]), imap_in,
+                               memory_space=pltpu.VMEM) for op in operands]
+        + [
             # constant index map -> the bias stays VMEM-resident across steps
             pl.BlockSpec((nh, n, n), lambda bi, ti: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, ws, wp, c), imap_in,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), dt),
         cost_estimate=pl.CostEstimate(
             flops=b * (hp // ws) * nww * nh * 4 * n * n * (c // nh),
-            bytes_accessed=(qkv.size * qkv.dtype.itemsize
-                            + b * hp * wp * c * qkv.dtype.itemsize
+            bytes_accessed=(sum(op.size * op.dtype.itemsize
+                                for op in operands)
+                            + b * hp * wp * c * dt.itemsize
                             + rel_bias.size * 4),
             transcendentals=b * hp * wp * n),
         interpret=interpret,
-    )(qkv, rel_bias.astype(jnp.float32))
+    )(*operands, rel_bias.astype(jnp.float32))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _wa_nhwc(qkv, rel_bias, scale, ws, shift, interpret):
-    return _wa_nhwc_impl(qkv, rel_bias, ws=ws, shift=shift, scale=scale,
+    return _wa_nhwc_impl((qkv,), rel_bias, ws=ws, shift=shift, scale=scale,
                          interpret=interpret)
 
 
@@ -557,6 +604,71 @@ def _wa_nhwc_bwd(scale, ws, shift, interpret, res, g):
 _wa_nhwc.defvjp(_wa_nhwc_fwd, _wa_nhwc_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _wa_nhwc_split(q, k, v, rel_bias, scale, ws, shift, pad_hw, interpret):
+    return _wa_nhwc_impl((q, k, v), rel_bias, ws=ws, shift=shift,
+                         scale=scale, pad_hw=pad_hw, interpret=interpret)
+
+
+def _wa_nhwc_split_fwd(q, k, v, rel_bias, scale, ws, shift, pad_hw,
+                       interpret):
+    out = _wa_nhwc_split(q, k, v, rel_bias, scale, ws, shift, pad_hw,
+                         interpret)
+    return out, (q, k, v, rel_bias)
+
+
+def _nhwc_window_mask(hp, wp, ws, shift, pad_hw):
+    """(nW, N, N) additive mask matching the kernel's in-kernel labels."""
+    from vision_instance_seg_tpu.models.pixel_decoder import (
+        _window_pad_shift_mask)
+    from vision_instance_seg_tpu.models.swin import _shift_attn_mask
+
+    if pad_hw is not None:
+        return jnp.asarray(_window_pad_shift_mask(pad_hw[0], pad_hw[1], ws,
+                                                  shift))
+    if shift > 0:
+        return jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
+    return None
+
+
+def _wa_nhwc_split_bwd(scale, ws, shift, pad_hw, interpret, res, g):
+    """jnp backward (recomputed attention)."""
+    from vision_instance_seg_tpu.models.swin import (
+        window_partition, window_unpartition)
+
+    q, k, v, rel_bias = res
+    b, hp, wp, c = q.shape
+    nh = rel_bias.shape[0]
+    hd = c // nh
+    n = ws * ws
+    qw = window_partition(q.astype(jnp.float32), ws)
+    nwt = qw.shape[0]
+    qw = qw.reshape(nwt, n, nh, hd)
+    kw = window_partition(k.astype(jnp.float32), ws).reshape(nwt, n, nh, hd)
+    vw = window_partition(v.astype(jnp.float32), ws).reshape(nwt, n, nh, hd)
+    gw = window_partition(g.astype(jnp.float32), ws).reshape(nwt, n, nh, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qw * scale, kw)
+    s = s + rel_bias[None].astype(jnp.float32)
+    m = _nhwc_window_mask(hp, wp, ws, shift, pad_hw)
+    if m is not None:
+        nw = (hp // ws) * (wp // ws)
+        s = (s.reshape(nwt // nw, nw, nh, n, n) + m[None, :, None]
+             ).reshape(nwt, nh, n, n)
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gw)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gw, vw)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kw) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qw) * scale
+    drel = ds.sum(0)                                        # (nH, N, N)
+    up = lambda t: window_unpartition(t.reshape(nwt, n, c), ws, hp, wp)
+    return (up(dq).astype(q.dtype), up(dk).astype(k.dtype),
+            up(dv).astype(v.dtype), drel.astype(rel_bias.dtype))
+
+
+_wa_nhwc_split.defvjp(_wa_nhwc_split_fwd, _wa_nhwc_split_bwd)
+
+
 def _wa_nhwc_jnp(qkv, rel_bias, scale, ws, shift):
     """jnp reference of the NHWC contract (CPU fallback + test golden)."""
     from vision_instance_seg_tpu.models.swin import (
@@ -600,3 +712,48 @@ def fused_window_attention_nhwc(qkv, rel_bias, scale, geometry,
 
 
 fused_window_attention_nhwc.wants_nhwc = True
+
+
+def _wa_nhwc_split_jnp(q, k, v, rel_bias, scale, ws, shift, pad_hw):
+    """jnp reference of the split-qkv NHWC contract (CPU fallback/golden)."""
+    from vision_instance_seg_tpu.models.swin import (
+        _window_attention_nhd, window_partition, window_unpartition)
+
+    b, hp, wp, c = q.shape
+    nh = rel_bias.shape[0]
+    hd = c // nh
+    n = ws * ws
+    qw = window_partition(q, ws)
+    nwt = qw.shape[0]
+    qw = qw.reshape(nwt, n, nh, hd)
+    kw = window_partition(k, ws).reshape(nwt, n, nh, hd)
+    vw = window_partition(v, ws).reshape(nwt, n, nh, hd)
+    mask = _nhwc_window_mask(hp, wp, ws, shift, pad_hw)
+    out = _window_attention_nhd(qw, kw, vw, rel_bias, mask, scale)
+    return window_unpartition(out.reshape(nwt, n, c), ws, hp, wp)
+
+
+def fused_window_attention_nhwc_split(q, k, v, rel_bias, scale, geometry,
+                                      pad_hw=None, interpret: bool = False):
+    """Split-projection NHWC window attention (the window-encoder contract):
+    q/k/v (B, Hp, Wp, C) straight from separate Denses (padded + pre-rolled
+    when shifted), rel_bias (nH, N, N), geometry = (Hp, Wp, ws, shift),
+    pad_hw = (h, w) real extents for canvas-pad masking (None = no pad
+    tokens / backbone semantics). Returns (B, Hp, Wp, C). Differentiable
+    (custom VJP, recomputed-attention jnp backward). Off-TPU the
+    numerically-equivalent jnp path runs instead.
+    """
+    hp, wp, ws, shift = geometry
+    assert q.shape[1] == hp and q.shape[2] == wp, (q.shape, geometry)
+    if pad_hw is not None and tuple(pad_hw) == (hp, wp):
+        pad_hw = None                       # no pad tokens -> cheaper masks
+    if pad_hw is not None:
+        pad_hw = (int(pad_hw[0]), int(pad_hw[1]))
+    if not interpret and jax.default_backend() != "tpu":
+        return _wa_nhwc_split_jnp(q, k, v, rel_bias, float(scale), int(ws),
+                                  int(shift), pad_hw)
+    return _wa_nhwc_split(q, k, v, rel_bias, float(scale), int(ws),
+                          int(shift), pad_hw, bool(interpret))
+
+
+fused_window_attention_nhwc_split.wants_nhwc = True

@@ -83,14 +83,17 @@ def build_model(cfg, dtype=None, window_attn_fn=None, deform_core_fn=None
             window_attn_fn = fused_window_attention
         except ImportError:
             window_attn_fn = None
-    # NHWC fused partition+attention+merge kernel — backbone only (the
-    # window-encoder attn_fn contract is token-major); SwinBlock falls back
-    # to the jnp path for window sizes that are not multiples of 8
+    # NHWC fused partition+attention+merge kernels: the backbone takes the
+    # fused-qkv variant, the window encoder the split-projection variant
+    # (q/k from src+pos, v from src, canvas-pad masks). Layers whose window
+    # size is not a multiple of 8 fall back to the jnp paths.
     swin_attn_fn = window_attn_fn
+    wenc_attn_fn = window_attn_fn
     if window_attn_fn is None and cfg.TPU.WINDOW_ATTN_NHWC:
         from vision_instance_seg_tpu.kernels.window_attention import (
-            fused_window_attention_nhwc)
+            fused_window_attention_nhwc, fused_window_attention_nhwc_split)
         swin_attn_fn = fused_window_attention_nhwc
+        wenc_attn_fn = fused_window_attention_nhwc_split
     if deform_core_fn is None and cfg.TPU.USE_PALLAS_DEFORM_ATTN:
         # fused_ms_deform_attn itself dispatches: blocked Pallas kernel for
         # grid-aligned encoder queries on TPU, jnp core otherwise (CPU
@@ -106,7 +109,7 @@ def build_model(cfg, dtype=None, window_attn_fn=None, deform_core_fn=None
         raise ValueError(f"unknown backbone {cfg.MODEL.BACKBONE.NAME}")
     pixel_decoder = build_pixel_decoder(cfg, dtype=dtype,
                                         core_fn=deform_core_fn,
-                                        attn_fn=window_attn_fn)
+                                        attn_fn=wenc_attn_fn)
     if is_maskdino(cfg):
         from vision_instance_seg_tpu.models.maskdino_decoder import (
             build_maskdino_decoder)

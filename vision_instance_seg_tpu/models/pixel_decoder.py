@@ -29,7 +29,7 @@ from vision_instance_seg_tpu.models.deform_attn import DeformCoreFn, MSDeformAtt
 from vision_instance_seg_tpu.models.layers import (
     LayerNorm, position_embedding_sine, trunc_normal_init, embedding_init)
 from vision_instance_seg_tpu.models.swin import (
-    AttnFn, _relative_position_index, reference_window_attention,
+    AttnFn, _relative_position_index, _window_attention_nhd,
     window_partition, window_unpartition)
 
 
@@ -257,7 +257,8 @@ class WindowEncoderLayer(nn.Module):
         wq = nn.Dense(c, dtype=self.dtype, name="q_proj")
         wk = nn.Dense(c, dtype=self.dtype, name="k_proj")
         wv = nn.Dense(c, dtype=self.dtype, name="v_proj")
-        attn_fn = self.attn_fn or reference_window_attention
+        use_nhwc = (getattr(self.attn_fn, "wants_nhwc", False)
+                    and ws % 8 == 0)
 
         outs, offset = [], 0
         for li, (h, w) in enumerate(spatial_shapes):
@@ -273,16 +274,39 @@ class WindowEncoderLayer(nn.Module):
                 xv = jnp.roll(xv, (-shift, -shift), (1, 2))
             n = ws * ws
             nw = (hp // ws) * (wp // ws)
-            q = wq(window_partition(xq, ws))              # (B*nW, N, C)
-            k = wk(window_partition(xq, ws))
-            v = wv(window_partition(xv, ws))
-            q = q.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3)
-            k = k.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3)
-            v = v.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3)
-            mask = jnp.asarray(_window_pad_shift_mask(h, w, ws, shift))
-            o = attn_fn(q, k, v, rel_bias, mask, hd ** -0.5, nw)
-            o = o.transpose(0, 2, 1, 3).reshape(-1, n, c)
-            o = window_unpartition(o, ws, hp, wp)
+            if use_nhwc:
+                # fused partition+attention+merge kernel: projections run
+                # on the NHWC maps (identical params), windows form in
+                # VMEM, pad/shift masks derive in-kernel — no partition /
+                # unpartition copies, no head transposes
+                o = self.attn_fn(wq(xq), wk(xq), wv(xv), rel_bias,
+                                 hd ** -0.5, (hp, wp, ws, shift),
+                                 pad_hw=(h, w))
+            else:
+                q = wq(window_partition(xq, ws))          # (B*nW, N, C)
+                k = wk(window_partition(xq, ws))
+                v = wv(window_partition(xv, ws))
+                mask = jnp.asarray(_window_pad_shift_mask(h, w, ws, shift))
+                # an NHWC-only kernel can't take token-major operands
+                # (ws % 8 != 0 falls back here) — use the jnp path
+                if (self.attn_fn is None
+                        or getattr(self.attn_fn, "wants_nhwc", False)):
+                    # transpose-free jnp path: einsum dimension numbers
+                    # carry the (N, nH) order natively (same trick as the
+                    # backbone, models/swin.py _window_attention_nhd) —
+                    # the six (0,2,1,3) layout copies never materialize
+                    o = _window_attention_nhd(
+                        q.reshape(-1, n, nh, hd), k.reshape(-1, n, nh, hd),
+                        v.reshape(-1, n, nh, hd), rel_bias, mask,
+                        hd ** -0.5).reshape(-1, n, c)
+                else:
+                    q = q.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3)
+                    k = k.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3)
+                    v = v.reshape(-1, n, nh, hd).transpose(0, 2, 1, 3)
+                    o = self.attn_fn(q, k, v, rel_bias, mask, hd ** -0.5,
+                                     nw)
+                    o = o.transpose(0, 2, 1, 3).reshape(-1, n, c)
+                o = window_unpartition(o, ws, hp, wp)
             if shift:
                 o = jnp.roll(o, (shift, shift), (1, 2))
             outs.append(o[:, :h, :w])
