@@ -232,7 +232,8 @@ def get_cfg() -> CN:
     _C.SOLVER.WEIGHT_DECAY = 0.05
     _C.SOLVER.WEIGHT_DECAY_NORM = 0.0
     _C.SOLVER.WEIGHT_DECAY_EMBED = 0.0
-    _C.SOLVER.OPTIMIZER = "ADAMW"
+    _C.SOLVER.OPTIMIZER = "ADAMW"      # or SGD (d2 default; momentum below)
+    _C.SOLVER.MOMENTUM = 0.9
     _C.SOLVER.BACKBONE_MULTIPLIER = 0.1
     _C.SOLVER.CLIP_GRADIENTS = CN()
     _C.SOLVER.CLIP_GRADIENTS.ENABLED = True

@@ -114,6 +114,7 @@ class TrainLoader:
             crop_size=cfg.INPUT.CROP.SIZE,
         )
         self.prefetch = int(prefetch or cfg.DATALOADER.PREFETCH_BATCHES)
+        self.num_workers = int(cfg.DATALOADER.NUM_WORKERS)
         # LRU decoded-image cache, bounded by entry count: the defect sets
         # are 26-127 images (all hits), but an unbounded id()-keyed dict was
         # a footgun for larger datasets (VERDICT r1 weak #8)
@@ -166,7 +167,19 @@ class TrainLoader:
         return collate(samples)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Background-threaded iteration with bounded lookahead."""
+        """Background-threaded iteration with bounded lookahead.
+
+        DATALOADER.NUM_WORKERS follows the d2 convention: 0 = load
+        synchronously in the consuming thread (deterministic step timing,
+        no lookahead); >=1 = the background producer thread below (this
+        host feeds from one decode thread — lookahead depth is
+        DATALOADER.PREFETCH_BATCHES, decode reuse is the LRU cache).
+        """
+        if self.num_workers == 0:
+            step = 0
+            while True:
+                yield self.make_batch(step)
+                step += 1
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

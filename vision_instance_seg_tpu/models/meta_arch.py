@@ -74,6 +74,8 @@ class MaskDINO(nn.Module):
 def build_model(cfg, dtype=None, window_attn_fn=None, deform_core_fn=None
                 ) -> MaskFormer:
     """Build the model, auto-wiring Pallas kernels per cfg.TPU flags."""
+    from vision_instance_seg_tpu.config.validate import validate_cfg
+    validate_cfg(cfg)
     if dtype is None:
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     if window_attn_fn is None and cfg.TPU.USE_PALLAS_WINDOW_ATTN:
@@ -130,7 +132,15 @@ def is_maskdino(cfg) -> bool:
 
 
 def normalize_image(images: jnp.ndarray, cfg) -> jnp.ndarray:
-    """(B, H, W, 3) RGB 0-255 -> normalized (reference PIXEL_MEAN/STD)."""
+    """(B, H, W, 3) RGB 0-255 -> normalized (reference PIXEL_MEAN/STD).
+
+    INPUT.FORMAT follows detectron2: loaders decode RGB; "BGR" flips the
+    channel order BEFORE normalization so PIXEL_MEAN/STD (given in FORMAT
+    order) and BGR-trained conv stems (e.g. d2 MSRA R-50 pkls) apply
+    unchanged. The reference MaskDINO/Mask2Former configs use "RGB".
+    """
+    if cfg.INPUT.FORMAT == "BGR":
+        images = images[..., ::-1]
     mean = jnp.asarray(cfg.MODEL.PIXEL_MEAN, jnp.float32)
     std = jnp.asarray(cfg.MODEL.PIXEL_STD, jnp.float32)
     return (images - mean) / std

@@ -354,6 +354,7 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.3
     patch_norm: bool = True
     ape: bool = False
+    pretrain_img_size: int = 224   # APE grid = pretrain_img_size/patch_size
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     use_checkpoint: bool = False
     # nn.scan stage bodies with >= 2 (regular, shifted) pairs — one trace
@@ -383,6 +384,17 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype, name="patch_embed")(x)
         if self.patch_norm:
             x = LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        if self.ape:
+            # absolute position embedding at the pretrain patch grid,
+            # bicubic-resized to the actual grid (the Swin detection fork's
+            # F.interpolate(..., mode='bicubic') forward; NHWC here)
+            pp = self.pretrain_img_size // ps
+            pos = self.param("absolute_pos_embed", trunc_normal_init(),
+                             (1, pp, pp, self.embed_dim), jnp.float32)
+            _, h1, w1, _ = x.shape
+            pos = jax.image.resize(pos, (1, h1, w1, self.embed_dim),
+                                   method="bicubic")
+            x = x + pos.astype(x.dtype)
 
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
         # TPU.REMAT: rematerialize each block's activations in backward
@@ -460,7 +472,9 @@ def build_swin(cfg, dtype=jnp.float32, attn_fn: Optional[AttnFn] = None
         patch_size=s.PATCH_SIZE, mlp_ratio=s.MLP_RATIO, qkv_bias=s.QKV_BIAS,
         qk_scale=s.QK_SCALE, drop_path_rate=s.DROP_PATH_RATE,
         patch_norm=s.PATCH_NORM, ape=s.APE,
-        out_features=tuple(s.OUT_FEATURES), use_checkpoint=s.USE_CHECKPOINT,
+        pretrain_img_size=int(s.PRETRAIN_IMG_SIZE),
+        out_features=tuple(s.OUT_FEATURES),
+        use_checkpoint=s.USE_CHECKPOINT or bool(cfg.TPU.REMAT_BACKBONE),
         scan_stages=bool(cfg.TPU.get("SCAN_SWIN_STAGES", True)),
         scan_unroll=int(cfg.TPU.get("SCAN_SWIN_UNROLL", 9)),
         dtype=dtype, attn_fn=attn_fn)

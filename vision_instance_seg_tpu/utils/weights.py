@@ -92,7 +92,10 @@ def _swin_key_map(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
         if k.startswith("head.") or k.endswith("attn_mask") \
                 or "relative_position_index" in k or k.startswith("norm."):
             continue
-        if k == "patch_embed.proj.weight":
+        if k == "absolute_pos_embed":
+            # detection-fork APE: (1, C, Hp, Wp) NCHW -> our (1, Hp, Wp, C)
+            put(("absolute_pos_embed",), np.transpose(v, (0, 2, 3, 1)))
+        elif k == "patch_embed.proj.weight":
             put(("patch_embed", "kernel"), _conv(v))
         elif k == "patch_embed.proj.bias":
             put(("patch_embed", "bias"), v)
