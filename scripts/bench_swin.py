@@ -48,16 +48,21 @@ def main():
     ap.add_argument("--image-size", type=int, default=800)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--window-size", type=int, default=0,
+                    help="backbone window size (0 = config default; the "
+                         "flagship uses 8)")
     args = ap.parse_args()
 
     from vision_instance_seg_tpu.config import get_cfg
     from vision_instance_seg_tpu.kernels.window_attention import (
-        fused_window_attention)
+        fused_window_attention, fused_window_attention_nhwc)
     from vision_instance_seg_tpu.models import normalize_image
     from vision_instance_seg_tpu.models.meta_arch import build_swin
 
     hw = args.image_size
     cfg = get_cfg()
+    if args.window_size:
+        cfg.MODEL.SWIN.WINDOW_SIZE = args.window_size
     x = jnp.zeros((args.batch, hw, hw, 3), jnp.float32)
 
     def identity_attn(q, k, v, rel_bias, shift_mask, scale, num_windows):
@@ -66,9 +71,14 @@ def main():
     from vision_instance_seg_tpu.models.swin import (
         reference_window_attention)
 
-    for name, attn in [("identity_attn", identity_attn),
-                       ("pallas_attn", fused_window_attention),
-                       ("jnp_attn", reference_window_attention)]:
+    variants = [("identity_attn", identity_attn),
+                ("default_attn", None),     # flagship: transpose-free jnp
+                ("pallas_attn", fused_window_attention),
+                ("jnp_attn", reference_window_attention)]
+    if cfg.MODEL.SWIN.WINDOW_SIZE % 8 == 0:
+        # fused NHWC partition+attention+merge kernel (ws multiple of 8)
+        variants.append(("nhwc_attn", fused_window_attention_nhwc))
+    for name, attn in variants:
         bb = build_swin(cfg, dtype=jnp.bfloat16, attn_fn=attn)
         p = jax.jit(lambda k, xx: bb.init(k, xx, True))(
             jax.random.key(0), normalize_image(x[:1], cfg))

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--levels", type=int, default=4,
                     help="MaskDINO encoder scales (4 = reference 4s yaml)")
     ap.add_argument("--logdir", default="/tmp/vist_profile")
+    ap.add_argument("opts", nargs="*", default=[],
+                    help="trailing KEY VALUE config overrides (bench.py "
+                         "style), e.g. TPU.WINDOW_ATTN_NHWC True")
     args = ap.parse_args()
 
     from vision_instance_seg_tpu.config import get_cfg
@@ -54,6 +57,8 @@ def main():
         cfg.MODEL.MASK_DINO.CROSS_ATTENTION = (
             "deformable" if args.encoder == "deformable" else "dense")
         cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = args.levels
+    if args.opts:
+        cfg.merge_from_list(list(args.opts))
     model = build_model(cfg)
     images = jnp.zeros((args.batch, args.image_size, args.image_size, 3),
                        jnp.float32)

@@ -33,6 +33,9 @@ def main():
                     choices=["swin", "resnet"])
     ap.add_argument("--levels", type=int, default=0,
                     help="encoder scales (0 = config default)")
+    ap.add_argument("opts", nargs="*", default=[],
+                    help="trailing KEY VALUE config overrides (bench.py "
+                         "style), e.g. TPU.WINDOW_ATTN_NHWC True")
     args = ap.parse_args()
 
     from vision_instance_seg_tpu.config import get_cfg
@@ -60,6 +63,8 @@ def main():
     # match bench_train / the training CLIs: rolled encoder scan keeps the
     # 4-scale fwd+bwd Pallas program within the compile helper's memory
     cfg.TPU.SCAN_ENC_UNROLL = 1
+    if args.opts:
+        cfg.merge_from_list(list(args.opts))
     model = build_model(cfg)
 
     b, hw, m = args.batch, args.image_size, int(cfg.INPUT.MAX_INSTANCES)
