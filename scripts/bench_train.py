@@ -48,6 +48,9 @@ def main():
                     help="keep encoder-layer activations instead of "
                          "rematerializing (bs4 R-50 encoder activations "
                          "are only ~28 MB/layer)")
+    ap.add_argument("opts", nargs="*", default=[],
+                    help="trailing KEY VALUE config overrides (bench.py "
+                         "style), e.g. TPU.WINDOW_ATTN_NHWC True")
     args = ap.parse_args()
     reps = args.reps
 
@@ -75,6 +78,8 @@ def main():
         cfg.MODEL.MASK_DINO.CROSS_ATTENTION = args.cross
         # reference trained config is 4-scale (4s_dowsample1)
         cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = args.levels
+    if args.opts:
+        cfg.merge_from_list(list(args.opts))
     model = build_model(cfg)
 
     b, hw, m = args.batch, args.image_size, int(cfg.INPUT.MAX_INSTANCES)
