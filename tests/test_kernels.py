@@ -350,3 +350,47 @@ class TestWindowEncoderLayerNHWC:
         got = fused.apply(params, src, pos, None, shapes)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+class TestWindowAttentionNHWCBwdFlavors:
+    """Pallas recompute backward == jnp recompute backward, both variants."""
+
+    def test_fused_bwd_flavors_agree(self, monkeypatch):
+        from vision_instance_seg_tpu.kernels import window_attention as wa
+
+        b, hp, wp, nh, hd, ws, shift = 1, 16, 24, 2, 8, 8, 4
+        c = nh * hd
+        n = ws * ws
+        rng = np.random.default_rng(17)
+        qkv = jnp.asarray(rng.normal(size=(b, hp, wp, 3 * c)), jnp.float32)
+        rel = jnp.asarray(rng.normal(size=(nh, n, n)), jnp.float32)
+        g = jnp.asarray(rng.normal(size=(b, hp, wp, c)), jnp.float32)
+
+        pallas = wa._wa_nhwc_bwd(0.3, ws, shift, True, (qkv, rel), g)
+        monkeypatch.setattr(wa, "_use_pallas_bwd", lambda interp: False)
+        ref = wa._wa_nhwc_bwd(0.3, ws, shift, True, (qkv, rel), g)
+        for a, b_ in zip(pallas, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_split_bwd_flavors_agree(self, monkeypatch):
+        from vision_instance_seg_tpu.kernels import window_attention as wa
+
+        b, hp, wp, nh, hd, ws, shift = 2, 16, 16, 2, 8, 8, 4
+        c = nh * hd
+        n = ws * ws
+        rng = np.random.default_rng(19)
+        mk = lambda: jnp.asarray(rng.normal(size=(b, hp, wp, c)), jnp.float32)
+        q, k, v = mk(), mk(), mk()
+        rel = jnp.asarray(rng.normal(size=(nh, n, n)), jnp.float32)
+        g = jnp.asarray(rng.normal(size=(b, hp, wp, c)), jnp.float32)
+
+        pallas = wa._wa_nhwc_split_bwd(0.3, ws, shift, (13, 14), True,
+                                       (q, k, v, rel), g)
+        monkeypatch.setattr(wa, "_use_pallas_bwd", lambda interp: False)
+        ref = wa._wa_nhwc_split_bwd(0.3, ws, shift, (13, 14), True,
+                                    (q, k, v, rel), g)
+        for a, b_ in zip(pallas, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4)

@@ -27,6 +27,7 @@ actually calls for zero bias materialization.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -553,6 +554,213 @@ def _wa_nhwc_impl(operands, rel_bias, *, ws: int, shift: int, scale: float,
     )(*operands, rel_bias.astype(jnp.float32))
 
 
+def _wa_nhwc_bwd_kernel(*refs, c: int, nh: int, ws: int, shift: int,
+                        hp: int, wp: int, scale: float, split_qkv: bool,
+                        pad_hw):
+    """Backward of ``_wa_nhwc_kernel``: same grid/pairing, recomputes the
+    attention in VMEM (flash-style — nothing saved from forward but the
+    inputs) and emits dq/dk/dv plus the bias gradient.
+
+    Inputs: the forward operands plus g_ref (1, ws, Wp, C). Outputs:
+    d(operands) with the forward layouts, and drel_ref (nH, N, N) f32
+    ACCUMULATED across the sequential grid (constant index map; zeroed on
+    the first step). Masked logits get exact-zero ds, so masked bias cells
+    receive exactly zero gradient (the jnp reference's -100 additive mask
+    leaks ~e^-100 — equal within test tolerance).
+    """
+    if split_qkv:
+        q_ref, k_ref, v_ref, rel_ref, g_ref = refs[:5]
+        dq_ref, dk_ref, dv_ref, drel_ref = refs[5:]
+    else:
+        qkv_ref, rel_ref, g_ref = refs[:3]
+        dqkv_ref, drel_ref = refs[3:]
+    hd = c // nh
+    n = ws * ws
+    nww = wp // ws
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    @pl.when((bi == 0) & (ti == 0))
+    def _init():
+        drel_ref[...] = jnp.zeros_like(drel_ref)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 1)
+    same_window = (rows // n) == (cols // n)
+    need_labels = shift > 0 or pad_hw is not None
+
+    def region_labels(w0, nrows):
+        r = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
+        slot = r // n
+        t = r % n
+        wj = w0 + slot
+        gy = ti * ws + t // ws
+        gx = wj * ws + t % ws
+        lab = jnp.zeros_like(gy)
+        if shift > 0:
+            ry = ((gy >= hp - ws).astype(jnp.int32)
+                  + (gy >= hp - shift).astype(jnp.int32))
+            rx = ((gx >= wp - ws).astype(jnp.int32)
+                  + (gx >= wp - shift).astype(jnp.int32))
+            lab = 3 * ry + rx
+        if pad_hw is not None:
+            h_r, w_r = pad_hw
+            oy = gy + shift
+            oy = jnp.where(oy >= hp, oy - hp, oy)
+            ox = gx + shift
+            ox = jnp.where(ox >= wp, ox - wp, ox)
+            pad = ((oy >= h_r) | (ox >= w_r)).astype(jnp.int32)
+            lab = lab + 10 * pad
+        return lab
+
+    def window(ref, w0):
+        return ref[0, :, w0 * ws:(w0 + 1) * ws, :].reshape(n, -1)
+
+    def load(w0, wn):
+        if split_qkv:
+            parts = [(window(q_ref, w0 + i), window(k_ref, w0 + i),
+                      window(v_ref, w0 + i), window(g_ref, w0 + i))
+                     for i in range(wn)]
+        else:
+            parts = [(x[:, :c], x[:, c:2 * c], x[:, 2 * c:],
+                      window(g_ref, w0 + i))
+                     for i, x in enumerate(window(qkv_ref, w0 + j)
+                                           for j in range(wn))]
+        if wn == 1:
+            return parts[0]
+        return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                     for i in range(4))
+
+    def grads(qw, kw, vw, gw, keep, rel):
+        """(nrows, C) operands/cotangent -> dq, dk, dv (nrows, C) f32 and
+        the per-head ds diagonal-quadrant sum for drel."""
+        dqs, dks, dvs, dss = [], [], [], []
+        for h in range(nh):
+            q = qw[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+            k = kw[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+            v = vw[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+            g = gw[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+            s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + jnp.where(keep, rel[h], NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            # dv = p^T g; dp = g v^T; ds = p*(dp - rowsum(dp*p))
+            dv = jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dqs.append(dq * scale)
+            dks.append(dk * scale)
+            dvs.append(dv)
+            dss.append(ds)
+        return (jnp.concatenate(dqs, -1), jnp.concatenate(dks, -1),
+                jnp.concatenate(dvs, -1), dss)
+
+    def store(dq, dk, dv, w0):
+        """Write one window's (N, C) grads back in the forward layouts."""
+        sl = slice(w0 * ws, (w0 + 1) * ws)
+        if split_qkv:
+            dq_ref[0, :, sl, :] = dq.astype(dq_ref.dtype).reshape(ws, ws, c)
+            dk_ref[0, :, sl, :] = dk.astype(dk_ref.dtype).reshape(ws, ws, c)
+            dv_ref[0, :, sl, :] = dv.astype(dv_ref.dtype).reshape(ws, ws, c)
+        else:
+            dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+            dqkv_ref[0, :, sl, :] = dqkv.astype(
+                dqkv_ref.dtype).reshape(ws, ws, 3 * c)
+
+    rel2 = [None] * nh
+    if nww >= 2:
+        for h in range(nh):
+            r1 = rel_ref[h]
+            rel2[h] = jnp.concatenate(
+                [jnp.concatenate([r1, r1], 1)] * 2, 0)
+
+    for w0 in range(0, nww - 1, 2):
+        qw, kw, vw, gw = load(w0, 2)
+        keep = same_window
+        if need_labels:
+            lab = region_labels(w0, 2 * n)
+            keep = keep & (lab == lab.reshape(1, 2 * n))
+        dq, dk, dv, dss = grads(qw, kw, vw, gw, keep, rel2)
+        store(dq[:n], dk[:n], dv[:n], w0)
+        store(dq[n:], dk[n:], dv[n:], w0 + 1)
+        for h in range(nh):
+            # bias lives once per head: sum the two diagonal quadrants
+            drel_ref[h] += dss[h][:n, :n] + dss[h][n:, n:]
+
+    if nww % 2:
+        w0 = nww - 1
+        qw, kw, vw, gw = load(w0, 1)
+        keep = jnp.full((n, n), True)
+        if need_labels:
+            lab = region_labels(w0, n)
+            keep = lab == lab.reshape(1, n)
+        rel1 = [rel_ref[h] for h in range(nh)]
+        dq, dk, dv, dss = grads(qw, kw, vw, gw, keep, rel1)
+        store(dq, dk, dv, w0)
+        for h in range(nh):
+            drel_ref[h] += dss[h]
+
+
+def _wa_nhwc_bwd_impl(operands, rel_bias, g, *, ws: int, shift: int,
+                      scale: float, pad_hw=None, interpret: bool = False):
+    """operands: (qkv,) fused or (q, k, v) split. Returns (d(operands)...,
+    drel) with the operand dtypes / f32 bias gradient."""
+    split_qkv = len(operands) == 3
+    b, hp, wp, cx = operands[0].shape
+    c = cx if split_qkv else cx // 3
+    nh = rel_bias.shape[0]
+    n = ws * ws
+    grid = (b, hp // ws)
+    imap_in = lambda bi, ti: (bi, ti, 0, 0)
+    rel_spec = pl.BlockSpec((nh, n, n), lambda bi, ti: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    op_specs = [pl.BlockSpec((1, ws, wp, op.shape[-1]), imap_in,
+                             memory_space=pltpu.VMEM) for op in operands]
+    g_spec = pl.BlockSpec((1, ws, wp, c), imap_in, memory_space=pltpu.VMEM)
+    nww = wp // ws
+    outs = pl.pallas_call(
+        functools.partial(_wa_nhwc_bwd_kernel, c=c, nh=nh, ws=ws,
+                          shift=shift, hp=hp, wp=wp, scale=scale,
+                          split_qkv=split_qkv, pad_hw=pad_hw),
+        grid=grid,
+        in_specs=op_specs + [rel_spec, g_spec],
+        out_specs=[pl.BlockSpec((1, ws, wp, op.shape[-1]), imap_in,
+                                memory_space=pltpu.VMEM)
+                   for op in operands] + [rel_spec],
+        out_shape=[jax.ShapeDtypeStruct(op.shape, op.dtype)
+                   for op in operands]
+        + [jax.ShapeDtypeStruct((nh, n, n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * (hp // ws) * nww * nh * 4 * n * n * (c // nh),
+            bytes_accessed=2 * sum(op.size * op.dtype.itemsize
+                                   for op in operands)
+            + 2 * b * hp * wp * c * operands[0].dtype.itemsize
+            + 2 * rel_bias.size * 4,
+            transcendentals=b * hp * wp * n),
+        interpret=interpret,
+    )(*operands, rel_bias.astype(jnp.float32), g)
+    return outs
+
+
+# Pallas-vs-jnp backward selector for the NHWC kernels (compile-fragility
+# escape hatch: VIST_WA_NHWC_BWD=jnp restores the recomputed-attention jnp
+# backward with its partition copies)
+_NHWC_PALLAS_BWD = os.environ.get("VIST_WA_NHWC_BWD", "pallas") == "pallas"
+
+
+def _use_pallas_bwd(interpret: bool) -> bool:
+    return _NHWC_PALLAS_BWD and (interpret
+                                 or jax.default_backend() == "tpu")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _wa_nhwc(qkv, rel_bias, scale, ws, shift, interpret):
     return _wa_nhwc_impl((qkv,), rel_bias, ws=ws, shift=shift, scale=scale,
@@ -565,6 +773,17 @@ def _wa_nhwc_fwd(qkv, rel_bias, scale, ws, shift, interpret):
 
 
 def _wa_nhwc_bwd(scale, ws, shift, interpret, res, g):
+    """Backward: Pallas recompute kernel on TPU/interpret, jnp otherwise."""
+    qkv, rel_bias = res
+    if _use_pallas_bwd(interpret):
+        dqkv, drel = _wa_nhwc_bwd_impl(
+            (qkv,), rel_bias, g.astype(qkv.dtype), ws=ws, shift=shift,
+            scale=scale, interpret=interpret)
+        return dqkv, drel.astype(rel_bias.dtype)
+    return _wa_nhwc_bwd_jnp(scale, ws, shift, res, g)
+
+
+def _wa_nhwc_bwd_jnp(scale, ws, shift, res, g):
     """jnp backward (recomputed attention — no residual attn matrix)."""
     from vision_instance_seg_tpu.models.swin import (
         _shift_attn_mask, window_partition, window_unpartition)
@@ -632,6 +851,17 @@ def _nhwc_window_mask(hp, wp, ws, shift, pad_hw):
 
 
 def _wa_nhwc_split_bwd(scale, ws, shift, pad_hw, interpret, res, g):
+    """Backward: Pallas recompute kernel on TPU/interpret, jnp otherwise."""
+    q, k, v, rel_bias = res
+    if _use_pallas_bwd(interpret):
+        dq, dk, dv, drel = _wa_nhwc_bwd_impl(
+            (q, k, v), rel_bias, g.astype(q.dtype), ws=ws, shift=shift,
+            scale=scale, pad_hw=pad_hw, interpret=interpret)
+        return dq, dk, dv, drel.astype(rel_bias.dtype)
+    return _wa_nhwc_split_bwd_jnp(scale, ws, shift, pad_hw, res, g)
+
+
+def _wa_nhwc_split_bwd_jnp(scale, ws, shift, pad_hw, res, g):
     """jnp backward (recomputed attention)."""
     from vision_instance_seg_tpu.models.swin import (
         window_partition, window_unpartition)
