@@ -390,42 +390,26 @@ fused_window_attention.wants_geometry = True
 # ---------------------------------------------------------------------------
 
 
-def _wa_nhwc_kernel(*refs, c: int, nh: int, ws: int, shift: int, hp: int,
-                    wp: int, scale: float, split_qkv: bool, pad_hw):
-    """One grid step = one row of windows, all heads.
+def _nhwc_geometry_helpers(ti, *, n: int, ws: int, shift: int, hp: int,
+                           wp: int, pad_hw):
+    """Shared fwd/bwd in-kernel helpers for one row-of-windows grid step.
 
-    Inputs (``split_qkv=False``): qkv_ref (1, ws, Wp, 3C) — the backbone's
-    fused qkv Dense output; (``split_qkv=True``): q/k/v_ref (1, ws, Wp, C)
-    each — the window encoder's separate q/k/v projections. rel_ref
-    (nH, N, N) f32 is grid-resident; out_ref (1, ws, Wp, C). N = ws*ws;
-    window w covers sublane columns [w*ws, (w+1)*ws) — 8-aligned because
-    ws % 8 == 0.
-
-    ``pad_hw=(h, w)`` masks canvas-padding tokens exactly like
-    models/pixel_decoder.py ``_window_pad_shift_mask`` (pad labels are
-    evaluated at pre-roll coordinates); None reproduces the backbone's
-    ``_shift_attn_mask`` semantics (padded tokens attend like real ones).
+    Returns (same_window, need_labels, region_labels, window):
+    - same_window: (2N, 2N) bool mask of the diagonal window quadrants
+    - region_labels(w0, nrows): (nrows, 1) int32 region id per packed token
+      row (windows w0, w0+1): 3*ry+rx shifted-region labels at rolled
+      coordinates (models/swin.py ``_shift_attn_mask``) plus 10*pad for
+      canvas padding at pre-roll coordinates (pixel_decoder
+      ``_window_pad_shift_mask``)
+    - window(ref, w0): (N, C') token-major view of window w0 from an NHWC
+      row block (1, ws, Wp, C')
     """
-    if split_qkv:
-        q_ref, k_ref, v_ref, rel_ref, out_ref = refs
-    else:
-        qkv_ref, rel_ref, out_ref = refs
-    hd = c // nh
-    n = ws * ws
-    nww = wp // ws
-    ti = pl.program_id(1)
-
     rows = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 1)
     same_window = (rows // n) == (cols // n)
     need_labels = shift > 0 or pad_hw is not None
 
     def region_labels(w0, nrows):
-        """(nrows, 1) int32 region id per packed token row (windows w0,
-        w0+1): 3*ry+rx shifted-region labels at rolled coordinates
-        (models/swin.py ``_shift_attn_mask``) plus 10*pad for canvas
-        padding at pre-roll coordinates (pixel_decoder
-        ``_window_pad_shift_mask``)."""
         r = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
         slot = r // n
         t = r % n
@@ -450,8 +434,37 @@ def _wa_nhwc_kernel(*refs, c: int, nh: int, ws: int, shift: int, hp: int,
         return lab
 
     def window(ref, w0):
-        """(N, C') token-major view of window w0 from an NHWC row block."""
         return ref[0, :, w0 * ws:(w0 + 1) * ws, :].reshape(n, -1)
+
+    return same_window, need_labels, region_labels, window
+
+
+def _wa_nhwc_kernel(*refs, c: int, nh: int, ws: int, shift: int, hp: int,
+                    wp: int, scale: float, split_qkv: bool, pad_hw):
+    """One grid step = one row of windows, all heads.
+
+    Inputs (``split_qkv=False``): qkv_ref (1, ws, Wp, 3C) — the backbone's
+    fused qkv Dense output; (``split_qkv=True``): q/k/v_ref (1, ws, Wp, C)
+    each — the window encoder's separate q/k/v projections. rel_ref
+    (nH, N, N) f32 is grid-resident; out_ref (1, ws, Wp, C). N = ws*ws;
+    window w covers sublane columns [w*ws, (w+1)*ws) — 8-aligned because
+    ws % 8 == 0.
+
+    ``pad_hw=(h, w)`` masks canvas-padding tokens exactly like
+    models/pixel_decoder.py ``_window_pad_shift_mask`` (pad labels are
+    evaluated at pre-roll coordinates); None reproduces the backbone's
+    ``_shift_attn_mask`` semantics (padded tokens attend like real ones).
+    """
+    if split_qkv:
+        q_ref, k_ref, v_ref, rel_ref, out_ref = refs
+    else:
+        qkv_ref, rel_ref, out_ref = refs
+    hd = c // nh
+    n = ws * ws
+    nww = wp // ws
+    same_window, need_labels, region_labels, window = _nhwc_geometry_helpers(
+        pl.program_id(1), n=n, ws=ws, shift=shift, hp=hp, wp=wp,
+        pad_hw=pad_hw)
 
     def load(w0, wn):
         """q/k/v of windows [w0, w0+wn) packed into (wn*N, C) each."""
@@ -584,37 +597,8 @@ def _wa_nhwc_bwd_kernel(*refs, c: int, nh: int, ws: int, shift: int,
     def _init():
         drel_ref[...] = jnp.zeros_like(drel_ref)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 2 * n), 1)
-    same_window = (rows // n) == (cols // n)
-    need_labels = shift > 0 or pad_hw is not None
-
-    def region_labels(w0, nrows):
-        r = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
-        slot = r // n
-        t = r % n
-        wj = w0 + slot
-        gy = ti * ws + t // ws
-        gx = wj * ws + t % ws
-        lab = jnp.zeros_like(gy)
-        if shift > 0:
-            ry = ((gy >= hp - ws).astype(jnp.int32)
-                  + (gy >= hp - shift).astype(jnp.int32))
-            rx = ((gx >= wp - ws).astype(jnp.int32)
-                  + (gx >= wp - shift).astype(jnp.int32))
-            lab = 3 * ry + rx
-        if pad_hw is not None:
-            h_r, w_r = pad_hw
-            oy = gy + shift
-            oy = jnp.where(oy >= hp, oy - hp, oy)
-            ox = gx + shift
-            ox = jnp.where(ox >= wp, ox - wp, ox)
-            pad = ((oy >= h_r) | (ox >= w_r)).astype(jnp.int32)
-            lab = lab + 10 * pad
-        return lab
-
-    def window(ref, w0):
-        return ref[0, :, w0 * ws:(w0 + 1) * ws, :].reshape(n, -1)
+    same_window, need_labels, region_labels, window = _nhwc_geometry_helpers(
+        ti, n=n, ws=ws, shift=shift, hp=hp, wp=wp, pad_hw=pad_hw)
 
     def load(w0, wn):
         if split_qkv:
