@@ -38,10 +38,15 @@ def _probe_tpu(timeout_s: int = 180) -> bool:
     JSON at all (multi-hour tunnel outages observed 08-18 and 08-20).
     """
     try:
+        # Default platform autoselection: the chip registers under the
+        # PJRT plugin platform name "axon", NOT "tpu" — forcing
+        # jax_platforms='tpu' selects the libtpu backend, which always
+        # fails here ("No jellyfish device found") even with the tunnel
+        # healthy. Let JAX pick, then require a non-CPU device.
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; jax.config.update('jax_platforms','tpu'); "
-             "jax.devices()"],
+             "import jax; d = jax.devices(); "
+             "assert d and d[0].platform != 'cpu', d"],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except (subprocess.TimeoutExpired, OSError):
