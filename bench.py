@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _probe_tpu(timeout_s: int = 180) -> bool:
+def _probe_tpu(timeout_s: int = 420) -> bool:
     """True if the TPU backend can actually enumerate devices.
 
     Probed in a SUBPROCESS with a hard timeout: when the axon tunnel is
@@ -43,10 +43,22 @@ def _probe_tpu(timeout_s: int = 180) -> bool:
         # jax_platforms='tpu' selects the libtpu backend, which always
         # fails here ("No jellyfish device found") even with the tunnel
         # healthy. Let JAX pick, then require a non-CPU device.
+        # Exercise the COMPILE path, not just enumeration: axon device
+        # enumeration is local and can succeed while the remote compile
+        # helper (port 8103) is down — the failure mode the 08-18 outage
+        # showed. A tiny jit round-trip proves the tunnel end-to-end
+        # (ADVICE r3). Importing the package enables the persistent
+        # compile cache, so this costs ms once warmed; a COLD trivial
+        # jit through the tunnel measured 115 s, hence the 420 s budget
+        # (compiles are quoted 30 s-5 min in CLAUDE.md).
         r = subprocess.run(
             [sys.executable, "-c",
+             "import sys; sys.path.insert(0, r'%s'); "
+             "import vision_instance_seg_tpu; "
              "import jax; d = jax.devices(); "
-             "assert d and d[0].platform != 'cpu', d"],
+             "assert d and d[0].platform != 'cpu', d; "
+             "assert float(jax.jit(lambda x: x + 1)(1.0)) == 2.0"
+             % Path(__file__).parent],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except (subprocess.TimeoutExpired, OSError):
