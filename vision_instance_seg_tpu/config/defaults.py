@@ -82,6 +82,10 @@ def get_cfg() -> CN:
     # "window" (TPU-native: Pallas windowed attention + cross-scale fusion)
     _C.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "deformable"
     _C.MODEL.SEM_SEG_HEAD.ENCODER_WINDOW_SIZE = 8
+    # FPN mask-feature fusion: "last" = upstream parity (only the finest
+    # encoder level feeds the FPN, maskdino_encoder out[-1]); "chain" =
+    # r1-r3 behavior (all encoder levels progressively fused)
+    _C.MODEL.SEM_SEG_HEAD.FPN_FUSION = "last"
 
     # Mask2Former head (reference gets this from Mask2Former/MaskDINO yaml)
     _C.MODEL.MASK_FORMER = CN()

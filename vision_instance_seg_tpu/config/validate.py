@@ -97,3 +97,7 @@ def validate_cfg(cfg) -> None:
     _reject(cfg.TPU.PARAM_DTYPE != "float32",
             "TPU.PARAM_DTYPE: parameters are fp32 by design; set "
             "TPU.COMPUTE_DTYPE for activation/matmul precision")
+    if cfg.MODEL.SEM_SEG_HEAD.get("FPN_FUSION", "last") not in (
+            "last", "chain"):
+        raise ValueError("SEM_SEG_HEAD.FPN_FUSION must be 'last' "
+                         "(upstream parity) or 'chain' (r1-r3 fusion)")

@@ -86,10 +86,13 @@ class LayerNorm(nn.LayerNorm):
     """fp32-param LayerNorm that computes in fp32 and casts back.
 
     LN statistics in bf16 lose precision; always normalize in fp32
-    (standard TPU practice), then cast to the compute dtype.
+    (standard TPU practice), then cast to the compute dtype. Epsilon is
+    torch's 1e-5 (flax defaults 1e-6) so imported checkpoints reproduce
+    the reference numerics exactly (tests/test_torch_parity.py).
     """
 
     dtype: jnp.dtype = jnp.float32
+    epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
@@ -101,7 +104,8 @@ def get_norm(name: str, dtype=jnp.float32, num_groups: int = 32):
     if name in ("LN", "layer_norm"):
         return LayerNorm(dtype=dtype)
     if name in ("GN", "group_norm"):
-        return nn.GroupNorm(num_groups=num_groups, dtype=jnp.float32)
+        return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5,
+                            dtype=jnp.float32)
     raise ValueError(f"unknown norm {name}")
 
 

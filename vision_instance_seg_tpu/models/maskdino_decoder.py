@@ -250,12 +250,25 @@ class MaskDINODecoder(nn.Module):
         return cls, masks
 
     @staticmethod
-    def _refine_boxes(heads, x, ref, geo_delta=None):
+    def _refine_boxes(heads, x, ref, geo_delta=None, normed: bool = True):
+        """sigmoid(box_mlp(x) + inv_sigmoid(ref)).
+
+        Upstream computes this TWICE per layer with the same aliased box
+        MLP (MaskDINO dino_decoder.TransformerDecoder.forward vs
+        maskdino_decoder.pred_box): the INTERNAL reference-point update
+        feeds the RAW layer output (``normed=False``), while the REPORTED
+        per-layer boxes feed the decoder-normed output. Both paths are
+        reproduced so imported checkpoints see the exact layouts they were
+        trained on (verified end-to-end by tests/test_torch_parity.py).
+        """
         norm, _, _, box_h = heads
-        delta = box_h(norm(x).astype(jnp.float32))
+        y = norm(x) if normed else x
+        delta = box_h(y.astype(jnp.float32))
         if geo_delta is not None:
             delta = delta + geo_delta
-        return jax.nn.sigmoid(delta + inverse_sigmoid(ref))
+        # eps=1e-3: DINO/MaskDINO's inverse_sigmoid convention (util.misc),
+        # not Deformable-DETR's 1e-5 — matters once boxes saturate
+        return jax.nn.sigmoid(delta + inverse_sigmoid(ref, eps=1e-3))
 
     @nn.compact
     def __call__(self, multi_scale_features: List[jnp.ndarray],
@@ -283,43 +296,64 @@ class MaskDINODecoder(nn.Module):
         out: Dict = {}
 
         # ---------------- two-stage proposals
-        enc = nn.Dense(c, dtype=self.dtype, name="enc_output")(value)
+        # anchor per token: pixel centers, base size 0.05 * 2^lvl; border
+        # validity follows upstream gen_encoder_output_proposals (MaskDINO
+        # maskdino_decoder.py): tokens whose anchor coords leave
+        # (0.01, 0.99) get their memory ZEROED before enc_output and their
+        # proposal logit pushed to +inf (boxes saturate at 1.0) — a STATIC
+        # per-shape mask here (pixel centers are compile-time constants),
+        # zero TPU cost. Dormant below ~51 tokens per side; at 800px the
+        # res3 border ring is excluded exactly as in the reference.
+        anchors, valids = [], []
+        for lvl, (h, w) in enumerate(shapes):
+            ys = (np.arange(h, dtype=np.float32) + 0.5) / h
+            xs = (np.arange(w, dtype=np.float32) + 0.5) / w
+            gy, gx = np.meshgrid(ys, xs, indexing="ij")
+            wh = np.full((h * w, 2), 0.05 * (2.0 ** lvl), np.float32)
+            a = np.concatenate([gx.reshape(-1, 1), gy.reshape(-1, 1), wh], 1)
+            anchors.append(a)
+            valids.append(((a > 0.01) & (a < 0.99)).all(-1))
+        anchors_np = np.concatenate(anchors, 0)             # (S, 4)
+        valid = jnp.asarray(np.concatenate(valids, 0))      # (S,) bool
+        anchors = jnp.asarray(anchors_np)
+        value_masked = jnp.where(valid[None, :, None], value, 0)
+        enc = nn.Dense(c, dtype=self.dtype, name="enc_output")(value_masked)
         enc = LayerNorm(dtype=self.dtype, name="enc_output_norm")(enc)
         enc_cls = nn.Dense(self._num_cls_out, dtype=jnp.float32,
                            bias_init=self._cls_bias_init,
                            name="enc_class_embed")(enc.astype(jnp.float32))
         enc_delta = MLPHead(c, 4, 3, dtype=jnp.float32, zero_last=True,
                             name="enc_box_embed")(enc.astype(jnp.float32))
-        # anchor per token: pixel centers, base size 0.05 * 2^lvl
-        anchors = []
-        for lvl, (h, w) in enumerate(shapes):
-            ys = (np.arange(h, dtype=np.float32) + 0.5) / h
-            xs = (np.arange(w, dtype=np.float32) + 0.5) / w
-            gy, gx = np.meshgrid(ys, xs, indexing="ij")
-            wh = np.full((h * w, 2), 0.05 * (2.0 ** lvl), np.float32)
-            anchors.append(np.concatenate(
-                [gx.reshape(-1, 1), gy.reshape(-1, 1), wh], 1))
-        anchors = jnp.asarray(np.concatenate(anchors, 0))   # (S, 4)
-        enc_boxes = jax.nn.sigmoid(enc_delta
-                                   + inverse_sigmoid(anchors)[None])
+        anchor_logit = jnp.where(valid[:, None],
+                                 inverse_sigmoid(anchors, eps=1e-3), 1e4)
+        enc_boxes = jax.nn.sigmoid(enc_delta + anchor_logit[None])
         if self.two_stage:
             # foreground channels only (under SEMANTIC_CE_LOSS the last
             # logit is no-object and must not drive proposal selection)
             score = enc_cls[..., :self.num_classes].max(axis=-1)   # (B, S)
             _, top_idx = jax.lax.top_k(score, self.num_queries)
-            tgt = jnp.take_along_axis(enc, top_idx[..., None], axis=1)
-            tgt = jax.lax.stop_gradient(tgt)
-            refs = jnp.take_along_axis(enc_boxes, top_idx[..., None], axis=1)
-            refs = jax.lax.stop_gradient(refs)
-            out["enc_cls"] = jnp.take_along_axis(
-                enc_cls, top_idx[..., None], axis=1)
-            out["enc_boxes"] = jnp.take_along_axis(
-                enc_boxes, top_idx[..., None], axis=1)
+            # upstream gathers the UNDETACHED proposals and reports the
+            # interm (enc-level) cls/mask through forward_prediction_heads
+            # — decoder_norm + the SHARED class/mask heads — with gradient
+            # into the encoder memory; selection alone uses the separate
+            # enc head logits (maskdino_decoder.py forward: tgt_undetach ->
+            # forward_prediction_heads -> tgt = tgt_undetach.detach())
+            tgt_undetach = jnp.take_along_axis(enc, top_idx[..., None],
+                                               axis=1)
+            refs_undetach = jnp.take_along_axis(enc_boxes,
+                                                top_idx[..., None], axis=1)
+            out["enc_boxes"] = refs_undetach
             if aux_masks or self.initialize_box_type != "no":
                 # aux_masks=False (serving): proposal masks feed only the
                 # enc-level loss (training) and mask-based box init
-                _, out["enc_masks"] = self._predict(heads, tgt,
-                                                    mask_features)
+                out["enc_cls"], out["enc_masks"] = self._predict(
+                    heads, tgt_undetach, mask_features)
+            else:
+                norm_h, cls_h = heads[0], heads[1]
+                out["enc_cls"] = cls_h(
+                    norm_h(tgt_undetach).astype(jnp.float32))
+            tgt = jax.lax.stop_gradient(tgt_undetach)
+            refs = jax.lax.stop_gradient(refs_undetach)
             if self.learn_tgt:
                 # learned content queries; boxes still from the proposals
                 qf = self.param("query_feat", embedding_init(),
@@ -496,6 +530,10 @@ class MaskDINODecoder(nn.Module):
                      jnp.log(jnp.clip(rel_s, 1e-3, 1e3))], -1)
                 geo_delta = geo_head(feats.reshape(feats.shape[0],
                                                    feats.shape[1], -1))
+            # reported boxes: box MLP on the NORMED output (upstream
+            # pred_box); internal next-layer references: box MLP on the RAW
+            # output, detached (upstream dino_decoder loop) — see
+            # _refine_boxes
             new_refs = self._refine_boxes(heads, x, refs, geo_delta)
             if aux_masks or li == self.dec_layers - 1:
                 cls_l, masks_l = self._predict(heads, x, mask_features)
@@ -505,7 +543,8 @@ class MaskDINODecoder(nn.Module):
                 cls_l = cls_h(norm(x).astype(jnp.float32))
             cls_list.append(cls_l)
             box_list.append(new_refs)
-            refs = jax.lax.stop_gradient(new_refs)
+            refs = jax.lax.stop_gradient(
+                self._refine_boxes(heads, x, refs, geo_delta, normed=False))
 
         out["pred_logits"] = jnp.stack(cls_list)   # (L+1, B, T+Q, C)
         # aux_masks=False: ONLY the final layer's mask is materialized

@@ -388,6 +388,9 @@ class MSDeformAttnPixelDecoder(nn.Module):
     # over stacked params (_WindowEncoderScanBody); needs an even layer
     # count >= 4 to be worth a scan, else the loop layout is kept
     scan_wenc: bool = True
+    # "last" (upstream parity: FPN starts from the finest encoder level) |
+    # "chain" (r1-r3: all encoder levels progressively fused)
+    fpn_fusion: str = "last"
     dtype: jnp.dtype = jnp.float32
     core_fn: Optional[DeformCoreFn] = None
     attn_fn: Optional[AttnFn] = None
@@ -405,9 +408,13 @@ class MSDeformAttnPixelDecoder(nn.Module):
         extra_feats: List[jnp.ndarray] = []
         prev = features[self.transformer_in_features[-1]]
         for k in range(extra):
-            x = nn.Conv(self.conv_dim, (3, 3), strides=(2, 2),
+            # padding=1 (symmetric), NOT flax's default SAME: at stride 2 on
+            # even extents SAME pads (0, 1) while torch Conv2d(padding=1)
+            # pads (1, 1) — same output size, shifted sampling grid (breaks
+            # checkpoint import parity; tests/test_torch_parity.py)
+            x = nn.Conv(self.conv_dim, (3, 3), strides=(2, 2), padding=1,
                         dtype=self.dtype, name=f"input_proj_ds{k}")(prev)
-            x = nn.GroupNorm(num_groups=32, name=f"input_proj_ds{k}_norm")(
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"input_proj_ds{k}_norm")(
                 x.astype(jnp.float32)).astype(self.dtype)
             extra_feats.insert(0, x)
             prev = x
@@ -425,7 +432,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             else:
                 x = nn.Dense(self.conv_dim, dtype=self.dtype,
                              name=f"input_proj{i - extra}")(f)
-                x = nn.GroupNorm(num_groups=32,
+                x = nn.GroupNorm(num_groups=32, epsilon=1e-5,
                                  name=f"input_proj{i - extra}_norm")(
                     x.astype(jnp.float32)).astype(self.dtype)
             pos = position_embedding_sine(h, w, self.conv_dim, dtype=self.dtype)
@@ -517,23 +524,31 @@ class MSDeformAttnPixelDecoder(nn.Module):
         # ---- FPN top-down to common_stride using the non-transformer scales
         all_names = ["res2", "res3", "res4", "res5"]
         fpn_names = [n for n in all_names if n not in self.transformer_in_features]
-        y = outs[0]
-        # fuse encoder scales from low to high resolution first
-        for i in range(1, num_levels):
-            target = outs[i]
-            y = jax.image.resize(y, target.shape, method="bilinear")
-            y = target + y
+        if self.fpn_fusion == "chain":
+            # r1-r3 behavior: progressively fuse ALL encoder scales into the
+            # mask-feature path (coarse context summed into res3)
+            y = outs[0]
+            for i in range(1, num_levels):
+                target = outs[i]
+                y = jax.image.resize(y, target.shape, method="bilinear")
+                y = target + y
+        else:
+            # upstream parity ("last"): only the FINEST encoder level feeds
+            # the FPN (maskdino_encoder.forward_features uses out[-1]; the
+            # coarse levels reach the masks via the encoder's cross-level
+            # attention, not the FPN)
+            y = outs[-1]
         # then lateral-fuse the remaining high-res backbone scales (e.g. res2)
         for n in reversed(fpn_names):
             lat = features[n]
             lat = nn.Dense(self.conv_dim, use_bias=False, dtype=self.dtype,
                            name=f"lateral_{n}")(lat)
-            lat = nn.GroupNorm(num_groups=32, name=f"lateral_{n}_norm")(
+            lat = nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"lateral_{n}_norm")(
                 lat.astype(jnp.float32)).astype(self.dtype)
             y = lat + jax.image.resize(y, lat.shape, method="bilinear")
             y = nn.Conv(self.conv_dim, (3, 3), use_bias=False,
                         dtype=self.dtype, name=f"output_{n}")(y)
-            y = nn.GroupNorm(num_groups=32, name=f"output_{n}_norm")(
+            y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"output_{n}_norm")(
                 y.astype(jnp.float32)).astype(self.dtype)
             y = nn.relu(y)
 
@@ -564,4 +579,5 @@ def build_pixel_decoder(cfg, dtype=jnp.float32,
         scan_layers=bool(cfg.TPU.get("SCAN_ENC_LAYERS", True)),
         scan_unroll=int(cfg.TPU.get("SCAN_ENC_UNROLL", 6)),
         scan_wenc=bool(cfg.TPU.get("SCAN_WENC_LAYERS", True)),
+        fpn_fusion=str(s.get("FPN_FUSION", "last")),
         dtype=dtype, core_fn=core_fn, attn_fn=attn_fn)
