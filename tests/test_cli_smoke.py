@@ -52,3 +52,66 @@ def test_cli_help_parses(cli):
                        capture_output=True, text=True, timeout=240)
     assert r.returncode == 0, r.stderr[-800:]
     assert "usage" in r.stdout.lower()
+
+
+def test_dist_flags_mirror_reference():
+    """--num-machines/--machine-rank/--dist-url exist on train_experiments
+    (reference train_experiments.py:241-248) and route into
+    comm.initialize's jax.distributed args."""
+    import argparse
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "te", ROOT / "training/maskdino/train_experiments.py")
+    src = (ROOT / "training/maskdino/train_experiments.py").read_text()
+    for flag in ("--num-machines", "--machine-rank", "--dist-url",
+                 "--num-gpus"):
+        assert flag in src, flag
+    del spec, argparse
+
+
+def test_yolo_route_builds_and_validates():
+    """The yolo/faster_rcnn experiment-template routes assemble a valid
+    config (box-from-mask detection over the JAX models) instead of the
+    reference's non-running ultralytics stub."""
+    sys.path.insert(0, str(ROOT / "training"))
+    sys.path.insert(0, str(ROOT / "scripts" / "data_utils"))
+    try:
+        import train_template as tt
+    finally:
+        sys.path.pop(0)
+        sys.path.pop(0)
+    from vision_instance_seg_tpu.config.validate import validate_cfg
+    from vision_instance_seg_tpu.config import get_cfg
+
+    assert set(tt.BOX_ROUTES) == {"yolo", "faster_rcnn"}
+    for model, backbone in tt.BOX_ROUTES.items():
+        cfg = get_cfg()
+        cfg.MODEL.MASK_DINO.ENABLED = True
+        cfg.MODEL.BACKBONE.NAME = backbone
+        cfg.MODEL.MASK_FORMER.TEST.BOX_FROM_MASK = True
+        validate_cfg(cfg)
+
+
+def test_pr_best_f1_perfect_detector():
+    """pr_best_f1 returns (1, 1) when detections equal the ground truth."""
+    import numpy as np
+    from vision_instance_seg_tpu.evaluation.cocoeval import COCOeval
+    from vision_instance_seg_tpu.data.coco import COCOJson
+
+    import json, tempfile, os
+    gt = {"images": [{"id": 1, "width": 64, "height": 64}],
+          "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                           "bbox": [10, 10, 20, 20], "area": 400,
+                           "iscrowd": 0}],
+          "categories": [{"id": 1, "name": "thunderbolt"}]}
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "gt.json")
+        json.dump(gt, open(p, "w"))
+        cj = COCOJson(p)
+        dt = cj.loadRes([{"image_id": 1, "category_id": 1,
+                          "bbox": [10, 10, 20, 20], "score": 0.9}])
+        ev = COCOeval(cj, dt, iouType="bbox")
+        ev.evaluate(); ev.accumulate(); ev.summarize()
+        prec, rec = ev.pr_best_f1()
+        assert abs(prec - 1.0) < 1e-9 and abs(rec - 1.0) < 1e-9

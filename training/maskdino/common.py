@@ -22,19 +22,23 @@ from vision_instance_seg_tpu.data.coco import load_coco_json
 DEFAULT_DATA_ROOT = os.environ.get("VIST_DATA_ROOT", "./data")
 
 
-def bootstrap_distributed() -> int:
+def bootstrap_distributed(dist_url: str | None = None,
+                          num_machines: int | None = None,
+                          machine_rank: int | None = None) -> int:
     """Start the JAX distributed runtime for multi-host SPMD runs.
 
     Every training/eval CLI calls this before touching devices — the
     reference ships its dist flags into detectron2's ``launch`` machinery
-    (train_experiments.py:241-248); here the equivalent bootstrap is
+    (train_experiments.py:241-248); here the same CLI surface
+    (--dist-url/--num-machines/--machine-rank) maps onto
     `jax.distributed.initialize` via ``parallel.comm.initialize`` (a no-op
-    unless a coordinator address is configured in the environment, so
+    unless a coordinator is configured by flag or environment, so
     single-host runs are unaffected). Returns the process count.
     """
     from vision_instance_seg_tpu.parallel import comm
 
-    if comm.initialize():
+    if comm.initialize(dist_url=dist_url, num_machines=num_machines,
+                       machine_rank=machine_rank):
         print(f"[dist] initialized: process {comm.process_index()}/"
               f"{comm.process_count()}, {len(__import__('jax').devices())} "
               "global devices")

@@ -107,10 +107,22 @@ def main():
     ap.add_argument("--num-chips", "--num-gpus", type=int, default=-1,
                     dest="num_chips",
                     help="-1 = all local devices on the data axis")
+    # multi-host flags, mirroring the reference CLI surface (reference
+    # train_experiments.py:241-248 -> detectron2 launch); they map onto
+    # jax.distributed.initialize (common.bootstrap_distributed)
+    ap.add_argument("--num-machines", type=int, default=1,
+                    help="number of hosts in the SPMD job")
+    ap.add_argument("--machine-rank", type=int, default=0,
+                    help="this host's rank (0 = coordinator)")
+    ap.add_argument("--dist-url", default="",
+                    help="coordinator address, e.g. tcp://host:port; empty "
+                         "= single host unless JAX_COORDINATOR_ADDRESS set")
     ap.add_argument("opts", nargs=argparse.REMAINDER)
     args = ap.parse_args()
 
-    bootstrap_distributed()
+    bootstrap_distributed(dist_url=args.dist_url or None,
+                          num_machines=args.num_machines,
+                          machine_rank=args.machine_rank)
     os.makedirs(args.output_dir, exist_ok=True)
     register_all_experiments(args.base_dir)
 

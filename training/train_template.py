@@ -4,10 +4,15 @@ Mirrors reference training/train_template.py: the ``EXPERIMENTS`` grid
 (:25-42 = the registry's 13 names), uniform ``HYPERPARAMS`` (:45-57),
 per-model train functions (:63-165), ``run_experiment`` (:172-221),
 ``run_all_experiments`` + summary table (:224-265), CLI ``--model/--exp/
---epochs/--batch_size/--lr`` (:273-285). Models route to the TPU-native
-stack: ``maskdino`` and ``mask2former`` are fully supported; the
-reference's ``yolo``/``faster_rcnn`` branches (ultralytics/detectron2
-stubs there) are declared unsupported here.
+--epochs/--batch_size/--lr`` (:273-285). All four model types route to
+the TPU-native stack: ``maskdino``/``mask2former`` natively; ``yolo`` and
+``faster_rcnn`` are BOX-DETECTION routes over the same JAX models
+(Swin-T / R-50 MaskDINO with mask-derived boxes) that return the
+reference yolo branch's ultralytics-shaped metric contract
+{mAP50, mAP75, mAP, precision, recall} (reference train_template.py:
+63-101; its own branch cannot run end-to-end — the COCO->YOLO conversion
+and data.yaml are TODO stubs there — so this route is the working
+equivalent, clearly labeled via the result's ``backend`` field).
 """
 
 import argparse
@@ -40,8 +45,10 @@ HYPERPARAMS = {
     "early_stopping_patience": 15,
 }
 
-SUPPORTED_MODELS = ("maskdino", "mask2former")
-UNSUPPORTED_MODELS = ("yolo", "faster_rcnn")
+SUPPORTED_MODELS = ("maskdino", "mask2former", "yolo", "faster_rcnn")
+# box-detection routes: JAX MaskDINO trained on the same data, boxes from
+# the learned masks, metrics in the ultralytics contract
+BOX_ROUTES = {"yolo": "swin", "faster_rcnn": "resnet"}
 
 
 def build_cfg(model: str, exp_name: str, args) -> "object":
@@ -49,7 +56,15 @@ def build_cfg(model: str, exp_name: str, args) -> "object":
 
     train_name, test_name = get_dataset_names(exp_name)
     cfg = get_cfg()
-    cfg.MODEL.MASK_DINO.ENABLED = model == "maskdino"
+    cfg.MODEL.MASK_DINO.ENABLED = model != "mask2former"
+    if model in BOX_ROUTES:
+        cfg.MODEL.BACKBONE.NAME = BOX_ROUTES[model]
+        if model == "faster_rcnn":
+            cfg.MODEL.RESNETS.DEPTH = 50
+        # detection route: report boxes derived from the learned masks
+        # (TEST.BOX_FROM_MASK) — the measured-reliable box source at this
+        # data scale (docs/PERF.md bbox ladder)
+        cfg.MODEL.MASK_FORMER.TEST.BOX_FROM_MASK = True
     cfg.DATASETS.TRAIN = [train_name]
     cfg.DATASETS.TEST = [test_name]
     cfg.SOLVER.IMS_PER_BATCH = args.batch_size
@@ -90,17 +105,23 @@ def train_model(model: str, exp_name: str, args) -> dict:
     evaluator = COCOEvaluator(test_name, cfg)
     infer = make_inference_fn(trainer.model, cfg)
     metrics = evaluator.evaluate(infer, trainer.state.params)
+    if model in BOX_ROUTES:
+        # ultralytics-shaped contract of the reference yolo branch
+        # (train_template.py:95-100): box mAPs + operating-point P/R
+        prec, rec = evaluator.last_pr_best_f1.get("bbox", (float("nan"),) * 2)
+        bbox = metrics.get("bbox", {})
+        return {"train": train_logs,
+                "mAP50": bbox.get("AP50"), "mAP75": bbox.get("AP75"),
+                "mAP": bbox.get("AP"), "precision": prec, "recall": rec,
+                "backend": f"maskdino-tpu/{cfg.MODEL.BACKBONE.NAME}"
+                           "+box_from_mask",
+                "coco": metrics}
     return {"train": train_logs, **metrics}
 
 
 def run_experiment(model: str, exp_name: str, args) -> dict:
     print(f"\n{'=' * 70}\n[{model}] {exp_name}\n{'=' * 70}")
     t0 = time.time()
-    if model in UNSUPPORTED_MODELS:
-        print(f"model '{model}' is not supported by the TPU stack "
-              f"(reference keeps a stub branch); skipping")
-        return {"experiment": exp_name, "model": model,
-                "status": "unsupported"}
     try:
         metrics = train_model(model, exp_name, args)
         result = {"experiment": exp_name, "model": model,
@@ -133,15 +154,16 @@ def print_summary(results):
     print(f"\n{'=' * 70}\nSUMMARY\n{'=' * 70}")
     print(f"{'experiment':45s} {'status':12s} {'segm AP':>8s}")
     for r in results:
-        ap = (r.get("metrics", {}).get("segm", {}).get("AP", float("nan"))
-              if r["status"] == "completed" else float("nan"))
+        m = r.get("metrics", {}) if r["status"] == "completed" else {}
+        segm = m.get("segm") or m.get("coco", {}).get("segm", {})
+        ap = segm.get("AP", float("nan")) if segm else float("nan")
         print(f"{r['experiment']:45s} {r['status']:12s} {ap:8.2f}")
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", default="maskdino",
-                    choices=SUPPORTED_MODELS + UNSUPPORTED_MODELS)
+                    choices=SUPPORTED_MODELS)
     ap.add_argument("--exp", default="all",
                     help="experiment name or 'all'")
     ap.add_argument("--epochs", type=int, default=HYPERPARAMS["epochs"])

@@ -566,12 +566,17 @@ class COCOEvaluator:
         if not results:
             nan = {k: float("nan") for k in
                    ["AP", "AP50", "AP75", "APs", "APm", "APl"]}
+            self.last_pr_best_f1 = {}
             return {"bbox": dict(nan), "segm": dict(nan)}
         dt = gt.loadRes(results)
+        self.last_pr_best_f1 = {}
         for task in ("bbox", "segm"):
             ev = COCOeval(gt, dt, iouType=task)
             ev.evaluate()
             ev.accumulate()
             ev.summarize()
             out[task] = ev.metric_dict()
+            # operating-point P/R for the experiment template's yolo-route
+            # metric contract (cocoeval.pr_best_f1)
+            self.last_pr_best_f1[task] = ev.pr_best_f1()
         return out

@@ -300,3 +300,28 @@ class COCOeval:
         keys = ["AP", "AP50", "AP75", "APs", "APm", "APl"]
         return {k: (float(self.stats[i]) * 100 if self.stats[i] >= 0
                     else float("nan")) for i, k in enumerate(keys)}
+
+    def pr_best_f1(self, iouThr: float = 0.5):
+        """Operating-point (precision, recall) at the max-F1 point of the
+        IoU=0.5 PR curve, averaged over categories — the semantics of
+        ultralytics' reported box P/R (reference train_template.py:95-100
+        metrics.box.p / .r), which the experiment template's yolo branch
+        mirrors. Requires accumulate(); returns (nan, nan) if empty."""
+        p = self.eval["precision"]                 # (T, R, K, A, M)
+        t = int(np.argmin(np.abs(np.asarray(self.params.iouThrs) - iouThr)))
+        pr = p[t, :, :, 0, -1]                     # (R, K): area all, maxDet
+        rc = np.asarray(self.params.recThrs, np.float64)
+        ps, rs = [], []
+        for k in range(pr.shape[1]):
+            col = pr[:, k]
+            valid = col > -1
+            if not valid.any():
+                continue
+            f1 = np.where(valid, 2 * col * rc
+                          / np.maximum(col + rc, 1e-9), -1.0)
+            i = int(f1.argmax())
+            ps.append(float(col[i]))
+            rs.append(float(rc[i]))
+        if not ps:
+            return float("nan"), float("nan")
+        return float(np.mean(ps)), float(np.mean(rs))

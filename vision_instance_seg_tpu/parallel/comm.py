@@ -22,9 +22,27 @@ import jax
 import numpy as np
 
 
-def initialize() -> bool:
-    """Start the distributed runtime if a coordinator is configured."""
+def initialize(dist_url: str | None = None,
+               num_machines: int | None = None,
+               machine_rank: int | None = None) -> bool:
+    """Start the distributed runtime if a coordinator is configured.
+
+    The reference CLIs expose ``--dist-url/--num-machines/--machine-rank``
+    (reference train_experiments.py:241-248, fed to detectron2 ``launch``);
+    those map directly onto ``jax.distributed.initialize``'s
+    coordinator_address / num_processes / process_id. Explicit arguments
+    win over the JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS env vars;
+    with neither, single-host runs are a no-op.
+    """
     if jax.process_count() > 1:
+        return True
+    if dist_url:
+        # accept detectron2's "tcp://host:port" and bare "host:port"
+        addr = dist_url.split("//", 1)[-1]
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=num_machines if num_machines else None,
+            process_id=machine_rank if machine_rank is not None else None)
         return True
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
             "COORDINATOR_ADDRESS"):
