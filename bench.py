@@ -15,6 +15,7 @@ Usage: python bench.py [--config infer|train] [--batch N] [--iters N]
 
 import argparse
 import json
+import os
 import statistics
 import subprocess
 import sys
@@ -190,7 +191,12 @@ def main():
             "r1/r2 rows (119.7 flagship) let XLA hoist most of the model "
             "out of the timing loop — see docs/PERF.md 'Measurement "
             "correction'")
-    if not _probe_tpu():
+    # VIST_ASSUME_TPU=1 skips the probe: on the 1-core host the probe
+    # subprocess can be starved past its timeout by concurrent CPU work
+    # (pytest etc.) and would mislabel a healthy tunnel as down
+    if os.environ.get("VIST_ASSUME_TPU") == "1":
+        pass
+    elif not _probe_tpu():
         # tunnel down: degrade to a labeled CPU smoke line (a hang or a
         # traceback would leave the driver with no benchmark record)
         jax.config.update("jax_platforms", "cpu")

@@ -28,6 +28,18 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--maskdino", action="store_true")
+    # reference-scale learning runs (VERDICT r3 #5): the reference trains
+    # 127 images for 3k iters (BASELINE.md); scale the synthetic set and
+    # canvas up from the 6-image micro default
+    ap.add_argument("--n-images", type=int, default=6)
+    ap.add_argument("--max-inst", type=int, default=3)
+    ap.add_argument("--backbone", default="swin_t",
+                    choices=["swin_t", "r50"])
+    ap.add_argument("--encoder", default="window",
+                    choices=["window", "deformable", "full"],
+                    help="pixel-decoder encoder (deformable = parity)")
+    ap.add_argument("--levels", type=int, default=3,
+                    help="TOTAL_NUM_FEATURE_LEVELS (4 = reference 4s)")
     # criterion A/B (VERDICT r1 #4): exact-vs-greedy matcher and
     # grid-vs-random point sampling, measured on the same data/seed
     ap.add_argument("--matcher", default="greedy",
@@ -94,7 +106,13 @@ def main():
 
     root = Path(tempfile.mkdtemp(prefix="vist_overfit_")) / "mini"
     root.mkdir(parents=True)
-    mc = make_mini_coco(root, n_images=6, seed=0, height=200, width=260)
+    # canvas and blob radii scale with --image-size so instance/canvas
+    # proportions match the 256px micro setup at any scale
+    s = args.image_size / 256.0
+    mc = make_mini_coco(root, n_images=args.n_images, seed=0,
+                        height=int(200 * s), width=int(260 * s),
+                        max_inst=args.max_inst,
+                        radius=(8 * s, 18 * s))
     name = "overfit_mini"
     DatasetCatalog.register(
         name, lambda: load_coco_json(mc["ann_file"], mc["image_dir"], name))
@@ -122,7 +140,10 @@ def main():
         cfg.MODEL.MASK_DINO.INITIALIZE_BOX_TYPE = args.box_init
         cfg.MODEL.MASK_DINO.SEMANTIC_CE_LOSS = args.semantic_ce
         cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES = args.queries
-    cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "window"
+    cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = args.encoder
+    cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = args.levels
+    if args.backbone == "r50":
+        cfg.MODEL.BACKBONE.NAME = "resnet"
     cfg.MODEL.MASK_FORMER.TEST.BOX_FROM_MASK = args.box_from_mask
     cfg.MODEL.MASK_FORMER.MATCHER = args.matcher
     cfg.MODEL.MASK_FORMER.POINT_MODE = args.points

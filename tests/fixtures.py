@@ -24,7 +24,8 @@ def _blob_polygon(cx: float, cy: float, r: float, n: int, rng) -> list:
 
 
 def make_mini_coco(root: Path, n_images: int = 6, seed: int = 0,
-                   height: int = 120, width: int = 160) -> dict:
+                   height: int = 120, width: int = 160,
+                   max_inst: int = 3, radius: tuple = (8, 18)) -> dict:
     from PIL import Image
 
     from vision_instance_seg_tpu.data.polygons import polygons_to_bitmask
@@ -37,11 +38,12 @@ def make_mini_coco(root: Path, n_images: int = 6, seed: int = 0,
     ann_id = 1
     for i in range(n_images):
         img = (rng.random((height, width, 3)) * 60 + 40).astype(np.uint8)
-        n_inst = int(rng.integers(1, 4))
+        n_inst = int(rng.integers(1, max_inst + 1))
+        margin = radius[1] + 2
         for _ in range(n_inst):
-            cx = float(rng.uniform(20, width - 20))
-            cy = float(rng.uniform(20, height - 20))
-            r = float(rng.uniform(8, 18))
+            cx = float(rng.uniform(margin, width - margin))
+            cy = float(rng.uniform(margin, height - margin))
+            r = float(rng.uniform(*radius))
             poly = _blob_polygon(cx, cy, r, 12, rng)
             mask = polygons_to_bitmask([poly], height, width)
             img[mask > 0] = (200, 60, 60)

@@ -62,8 +62,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # Megatron-style split: column-parallel (shard output features) for the
 # expanding half of each pointwise pair, row-parallel (shard input
 # features) for the contracting half. GSPMD propagates the activation
-# shardings and inserts the all-reduces over ICI.
+# shardings and inserts the all-reduces over ICI. Attention is HEAD-
+# sharded by construction: q/k/v (and the deformable value_proj /
+# per-head sampling_offsets / attention_weights, all head-major in their
+# output features) are column-parallel, so the (B, S, nh, hd) reshape
+# carries the 'model' shard onto the head axis and the whole attention
+# core — window, dense, and deformable sampling — computes per-head
+# shards with zero collectives until the row-parallel out_proj reduce.
+# Checked first, so "value_proj" wins over the generic row "proj" rule.
 _COLUMN_KEYS = ("linear1", "ffn1", "qkv", "q_proj", "k_proj", "v_proj",
+                "value_proj", "sampling_offsets", "attention_weights",
                 "mlp/fc1", "layer0")
 _ROW_KEYS = ("linear2", "ffn2", "proj", "out_proj", "mlp/fc2", "layer1")
 
@@ -79,8 +87,36 @@ def param_shardings(params: Any, mesh: Mesh,
     """
     tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
 
+    def role_of(parts) -> Optional[str]:
+        """Column/row role from the path, nearest module name first.
+
+        Within one component the winning token is the one ending furthest
+        right (longest on ties): 'layer0_ffn2' -> ffn2 (row), not the
+        MLPHead positional token 'layer0'; 'value_proj' -> value_proj
+        (column), not the generic row 'proj'. Plain substring matching
+        had both collisions backwards (caught by
+        test_deformable_head_sharding_rules) — GSPMD still computed the
+        right answer, but with an all-gather-shaped layout instead of the
+        Megatron head-sharded one.
+        """
+        joined = "/".join(parts)
+        for part in reversed(parts):
+            best = (-1, -1, None)              # (end, len, role)
+            for keys, role in ((_COLUMN_KEYS, "col"), (_ROW_KEYS, "row")):
+                for k in keys:
+                    i = joined.rfind(k) if "/" in k else part.rfind(k)
+                    if i < 0:
+                        continue
+                    cand = (i + len(k), len(k), role)
+                    if cand[:2] > best[:2]:
+                        best = cand
+            if best[2]:
+                return best[2]
+        return None
+
     def spec(path, x) -> P:
-        name = "/".join(str(getattr(p, "key", p)) for p in path).lower()
+        parts = [str(getattr(p, "key", p)).lower() for p in path]
+        name = "/".join(parts)
         nd = getattr(x, "ndim", 0)
         # nn.scan-stacked kernels are (L, in, out): shard the feature
         # dims, leave the scan axis replicated (deformable encoder_layers,
@@ -89,10 +125,16 @@ def param_shardings(params: Any, mesh: Mesh,
             t in name for t in ("encoder_layers", "wenc_layers", "_blocks"))
         if tp == 1 or (nd != 2 and not scanned) or x.size < min_size:
             return P()
-        if any(k in name for k in _COLUMN_KEYS) and x.shape[-1] % tp == 0:
+        role = role_of(parts[:-1])             # leaf name carries no role
+        if role == "col" and x.shape[-1] % tp == 0:
             return P(None, None, "model") if scanned else P(None, "model")
-        if any(k in name for k in _ROW_KEYS) and x.shape[-2] % tp == 0:
-            return P(None, "model", None) if scanned else P("model", None)
+        if role == "row":
+            if nd == 2 and parts[-1] == "bias":
+                # stacked (L, C) bias of a row-parallel scanned layer:
+                # replicate (its C is the un-sharded OUTPUT dim)
+                return P()
+            if x.shape[-2] % tp == 0:
+                return P(None, "model", None) if scanned else P("model", None)
         return P()
 
     return jax.tree_util.tree_map_with_path(
