@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--images", type=int, default=24)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--image-size", type=int, default=800)
+    ap.add_argument("--profile", action="store_true",
+                    help="cProfile the timed evaluate() pass and print the "
+                         "top-25 cumulative host functions (what of the "
+                         "~84 ms/img host postprocess is warp vs RLE vs "
+                         "D2H waits — VERDICT r3 #8)")
     ap.add_argument("--trained-steps", type=int, default=0,
                     help="overfit the model for N steps first so the eval "
                          "measures a REALISTIC mask distribution (compact "
@@ -90,9 +95,19 @@ def main():
     ev = COCOEvaluator(name, cfg)
 
     ev.evaluate(infer, params)                      # compile + warm
-    t0 = time.time()
-    ev.evaluate(infer, params)
-    dt = time.time() - t0
+    if args.profile:
+        import cProfile
+        import pstats
+
+        prof = cProfile.Profile()
+        t0 = time.time()
+        prof.runcall(ev.evaluate, infer, params)
+        dt = time.time() - t0
+        pstats.Stats(prof).sort_stats("cumulative").print_stats(25)
+    else:
+        t0 = time.time()
+        ev.evaluate(infer, params)
+        dt = time.time() - t0
     print(json.dumps({
         "metric": ("eval_pipeline_trained_images_per_sec"
                    if args.trained_steps else "eval_pipeline_images_per_sec"),

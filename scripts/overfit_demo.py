@@ -40,6 +40,10 @@ def main():
                     help="pixel-decoder encoder (deformable = parity)")
     ap.add_argument("--levels", type=int, default=3,
                     help="TOTAL_NUM_FEATURE_LEVELS (4 = reference 4s)")
+    ap.add_argument("--clamp-ab", action="store_true",
+                    help="after training, A/B the Pallas halo offset clamp "
+                         "against the unclamped jnp core + measure the "
+                         "fraction of offsets beyond the halo (VERDICT #6)")
     # criterion A/B (VERDICT r1 #4): exact-vs-greedy matcher and
     # grid-vs-random point sampling, measured on the same data/seed
     ap.add_argument("--matcher", default="greedy",
@@ -179,16 +183,80 @@ def main():
 
     infer = make_inference_fn(trainer.model, cfg)
     res = COCOEvaluator(name, cfg).evaluate(infer, trainer.state.params)
+    detail = {"steps": args.steps, "train_s": round(train_s, 1),
+              "matcher": args.matcher, "points": args.points,
+              "final_loss": round(float(logs["loss_total"]), 3),
+              "segm": {k: round(float(v), 2)
+                       for k, v in res["segm"].items()},
+              "bbox": {k: round(float(v), 2)
+                       for k, v in res["bbox"].items()},
+              "bbox_AP50": round(float(res["bbox"]["AP50"]), 2)}
+    if args.clamp_ab:
+        detail["clamp_ab"] = _offset_clamp_ab(cfg, trainer, name)
     print(json.dumps({
         "metric": ("overfit_mini_maskdino_segm_AP50" if args.maskdino else "overfit_mini_segm_AP50"),
         "value": round(float(res["segm"]["AP50"]), 2),
         "unit": "AP50",
-        "detail": {"steps": args.steps, "train_s": round(train_s, 1),
-                   "matcher": args.matcher, "points": args.points,
-                   "final_loss": round(float(logs["loss_total"]), 3),
-                   "segm": {k: round(float(v), 2)
-                            for k, v in res["segm"].items()},
-                   "bbox_AP50": round(float(res["bbox"]["AP50"]), 2)}}))
+        "detail": detail}))
+
+
+def _offset_clamp_ab(cfg, trainer, name) -> dict:
+    """Quantify the Pallas halo offset clamp on THIS trained model
+    (VERDICT r3 #6).
+
+    The blocked kernel's exactness contract clamps sampling offsets to
+    +-halo px (kernels/msdeform_attn.py docstring); the reference CUDA op
+    does not. Two measurements on the trained weights:
+    - eval AP with the jnp core (unclamped, reference semantics) vs the
+      default clamped kernel path;
+    - the fraction of predicted offsets beyond the halo, captured from
+      the sampling_offsets Dense outputs on one eval batch
+      (capture_intermediates; offsets are in px of the sampled level).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vision_instance_seg_tpu.data.loader import EvalLoader
+    from vision_instance_seg_tpu.data.catalog import DatasetCatalog
+    from vision_instance_seg_tpu.engine.evaluator import COCOEvaluator
+    from vision_instance_seg_tpu.kernels.msdeform_attn import DEFAULT_HALO
+    from vision_instance_seg_tpu.models import (build_model,
+                                                make_inference_fn,
+                                                normalize_image)
+
+    out = {"halo_px": DEFAULT_HALO}
+    cfg2 = cfg.clone()
+    cfg2.defrost()
+    cfg2.TPU.USE_PALLAS_DEFORM_ATTN = False   # jnp core: unclamped
+    cfg2.freeze()
+    model2 = build_model(cfg2)
+    res2 = COCOEvaluator(name, cfg2).evaluate(
+        make_inference_fn(model2, cfg2), trainer.state.params)
+    out["unclamped_segm_AP50"] = round(float(res2["segm"]["AP50"]), 2)
+    out["unclamped_bbox_AP50"] = round(float(res2["bbox"]["AP50"]), 2)
+
+    # offset magnitudes from one eval batch (jnp-core model; offsets are
+    # identical pre-clamp on either path)
+    dicts = DatasetCatalog.get(name)
+    batch = next(iter(EvalLoader(dicts, cfg2, batch_size=1)))
+    imgs = normalize_image(jnp.asarray(batch["image"]), cfg2)
+    _, inter = model2.apply(trainer.state.params, imgs, deterministic=True,
+                            aux_masks=False, capture_intermediates=lambda
+                            mdl, _: mdl.name == "sampling_offsets",
+                            mutable=["intermediates"])
+    mags = []
+    for leaf in jax.tree_util.tree_leaves(inter):
+        off = np.asarray(leaf, np.float32)
+        mags.append(np.abs(off.reshape(-1, 2)).max(-1))
+    mags = np.concatenate(mags)
+    out["offsets_measured"] = int(mags.size)
+    out["frac_beyond_halo"] = round(float((mags > DEFAULT_HALO).mean()), 4)
+    out["offset_px_p50_p99_max"] = [
+        round(float(np.percentile(mags, 50)), 2),
+        round(float(np.percentile(mags, 99)), 2),
+        round(float(mags.max()), 2)]
+    return out
 
 
 if __name__ == "__main__":
