@@ -80,3 +80,49 @@ def test_border_validity_is_static_and_upstream_shaped():
     centers = (np.arange(w) + 0.5) / w
     valid = (centers > 0.01) & (centers < 0.99)
     assert not valid[0] and not valid[-1] and valid[1:-1].all()
+
+
+@pytest.fixture(scope="module")
+def m2f_parity():
+    from test_full_import import (_synth_mask2former_predictor,
+                                  _synth_pixel_decoder,
+                                  _synth_r50_backbone, _tiny_cfg,
+                                  _init_variables, _save)
+    from torch_twin import TwinMask2Former
+    from vision_instance_seg_tpu.utils.weights import (
+        import_full_model_weights)
+
+    rng = np.random.default_rng(5)
+    sd = {}
+    _synth_r50_backbone(sd, rng)
+    _synth_pixel_decoder(sd, rng, 3)
+    _synth_mask2former_predictor(sd, rng)
+    cfg = _tiny_cfg(dino=False)
+    model, variables = _init_variables(cfg)
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as d:
+        path = _save(sd, pathlib.Path(d))
+        new_vars, report = import_full_model_weights(path, variables)
+    assert report["unmapped"] == []
+    twin = TwinMask2Former()
+    twin.load_state_dict(sd, strict=True)
+    twin.eval()
+
+    rng2 = np.random.default_rng(13)
+    images = rng2.integers(0, 256, (1, 96, 96, 3)).astype(np.float32)
+    norm = np.asarray(normalize_image(jnp.asarray(images), cfg))
+    cls_layers, mask_layers = model.apply(new_vars, jnp.asarray(norm),
+                                          deterministic=True)
+    with torch.no_grad():
+        tout = twin(torch.from_numpy(norm.transpose(0, 3, 1, 2).copy()))
+    return (cls_layers, mask_layers), tout
+
+
+def test_mask2former_full_forward_matches(m2f_parity):
+    """Flagship-family parity: masked-attention decoder end to end —
+    per-layer class logits and mask logits agree with the torch twin
+    (threshold-gated attention masks included: a single flipped gate bit
+    would diverge immediately)."""
+    (cls_layers, mask_layers), tout = m2f_parity
+    _close(cls_layers, tout["pred_logits"], "m2f pred_logits")
+    _close(mask_layers, tout["pred_masks"], "m2f pred_masks", atol=4e-3)

@@ -483,3 +483,128 @@ class TwinMaskDINO(nn.Module):
         feats = self.backbone(images_nchw)
         mask_features, maps = self.sem_seg_head.pixel_decoder(feats)
         return self.sem_seg_head.predictor(maps, mask_features)
+
+
+# ------------------------------------------------- Mask2Former predictor
+
+class M2FAttention(nn.Module):
+    """One {cross,self}-attention layer of the upstream
+    MultiScaleMaskedTransformerDecoder (post-norm): keys
+    ``<name>.multihead_attn|self_attn`` + ``<name>.norm``."""
+
+    def __init__(self, c, nh, cross):
+        super().__init__()
+        attn = nn.MultiheadAttention(c, nh, batch_first=True)
+        if cross:
+            self.multihead_attn = attn
+        else:
+            self.self_attn = attn
+        self.norm = nn.LayerNorm(c)
+        self._cross = cross
+
+    def forward(self, tgt, qpos, memory=None, pos=None, attn_mask=None):
+        if self._cross:
+            tgt2 = self.multihead_attn(
+                tgt + qpos, memory + pos, memory,
+                attn_mask=attn_mask, need_weights=False)[0]
+        else:
+            q = k = tgt + qpos
+            tgt2 = self.self_attn(q, k, tgt, need_weights=False)[0]
+        return self.norm(tgt + tgt2)
+
+
+class M2FFFN(nn.Module):
+    def __init__(self, c, ffn):
+        super().__init__()
+        self.linear1 = nn.Linear(c, ffn)
+        self.linear2 = nn.Linear(ffn, c)
+        self.norm = nn.LayerNorm(c)
+
+    def forward(self, tgt):
+        return self.norm(tgt + self.linear2(F.relu(self.linear1(tgt))))
+
+
+class Mask2FormerPredictor(nn.Module):
+    """mask2former_transformer_decoder.MultiScaleMaskedTransformerDecoder
+    twin (eval). input_proj entries are EMPTY Sequentials at conv_dim ==
+    hidden_dim, exactly as upstream — no keys, identity projection."""
+
+    def __init__(self, c, nh, ffn, n_dec, ncls, nq, nlvl=3):
+        super().__init__()
+        self.c, self.nh, self.nlvl = c, nh, nlvl
+        self.query_feat = nn.Embedding(nq, c)
+        self.query_embed = nn.Embedding(nq, c)
+        self.level_embed = nn.Embedding(nlvl, c)
+        self.class_embed = nn.Linear(c, ncls + 1)
+        self.mask_embed = MLP([c, c, c, c])
+        self.decoder_norm = nn.LayerNorm(c)
+        self.transformer_cross_attention_layers = nn.ModuleList(
+            M2FAttention(c, nh, cross=True) for _ in range(n_dec))
+        self.transformer_self_attention_layers = nn.ModuleList(
+            M2FAttention(c, nh, cross=False) for _ in range(n_dec))
+        self.transformer_ffn_layers = nn.ModuleList(
+            M2FFFN(c, ffn) for _ in range(n_dec))
+
+    def _predict(self, x, mask_features, target_hw):
+        y = self.decoder_norm(x)
+        cls = self.class_embed(y)
+        emb = self.mask_embed(y)
+        masks = torch.einsum("bqc,bchw->bqhw", emb, mask_features)
+        am = F.interpolate(masks, size=target_hw, mode="bilinear",
+                           align_corners=False)
+        am = (am.sigmoid().flatten(2) < 0.5)          # (B, Q, hw) bool
+        empty = am.all(-1, keepdim=True)
+        am = am & ~empty                              # unmask empty queries
+        b, q, hw = am.shape
+        am = am[:, None].expand(b, self.nh, q, hw).reshape(b * self.nh, q, hw)
+        return cls, masks, am
+
+    def forward(self, maps, mask_features):
+        b = mask_features.shape[0]
+        srcs, poss, shapes = [], [], []
+        for i, m in enumerate(maps[:self.nlvl]):
+            h, w = m.shape[-2:]
+            shapes.append((h, w))
+            srcs.append(m.flatten(2).transpose(1, 2)
+                        + self.level_embed.weight[i])
+            poss.append(pos_sine_2d(h, w, self.c).flatten(1).transpose(0, 1)
+                        [None].expand(b, -1, -1))
+        x = self.query_feat.weight[None].expand(b, -1, -1)
+        qpos = self.query_embed.weight[None].expand(b, -1, -1)
+        cls_list, mask_list = [], []
+        cls, masks, am = self._predict(x, mask_features, shapes[0])
+        cls_list.append(cls)
+        mask_list.append(masks)
+        n_dec = len(self.transformer_cross_attention_layers)
+        for li in range(n_dec):
+            lvl = li % self.nlvl
+            x = self.transformer_cross_attention_layers[li](
+                x, qpos, srcs[lvl], poss[lvl], attn_mask=am)
+            x = self.transformer_self_attention_layers[li](x, qpos)
+            x = self.transformer_ffn_layers[li](x)
+            cls, masks, am = self._predict(
+                x, mask_features, shapes[(li + 1) % self.nlvl])
+            cls_list.append(cls)
+            mask_list.append(masks)
+        return {"pred_logits": torch.stack(cls_list),
+                "pred_masks": torch.stack(mask_list)}
+
+
+class TwinMask2Former(nn.Module):
+    """Full Mask2Former R-50 twin (3 encoder levels, no ds extras)."""
+
+    def __init__(self, c=32, nh=4, npts=4, enc_ffn=1024, dec_ffn=64,
+                 n_enc=2, n_dec=2, ncls=1, nq=8):
+        super().__init__()
+        self.backbone = ResNet50()
+        sem_seg_head = nn.Module()
+        sem_seg_head.pixel_decoder = PixelDecoder(
+            c, nh, npts, enc_ffn, n_enc, levels=3)
+        sem_seg_head.predictor = Mask2FormerPredictor(
+            c, nh, dec_ffn, n_dec, ncls, nq)
+        self.sem_seg_head = sem_seg_head
+
+    def forward(self, images_nchw):
+        feats = self.backbone(images_nchw)
+        mask_features, maps = self.sem_seg_head.pixel_decoder(feats)
+        return self.sem_seg_head.predictor(maps, mask_features)
