@@ -35,6 +35,24 @@ RLEObj = Dict[str, Any]
 # counts <-> COCO varint string
 # ---------------------------------------------------------------------------
 
+def _counts_to_string_fast(cnts) -> bytes:
+    """Native C varint encoder with pure-Python fallback.
+
+    The eval loop's hot encoder path (encode_box_patch) used the Python
+    byte loop while the .so sat built and loaded — profiled r4 at ~0.3
+    ms/instance, the single largest host-postprocess item."""
+    from vision_instance_seg_tpu.data import native
+    s = native.counts_to_string(np.asarray(cnts, np.int64))
+    return s if s is not None else counts_to_string(cnts)
+
+
+def _string_to_counts_fast(s) -> np.ndarray:
+    from vision_instance_seg_tpu.data import native
+    if isinstance(s, str):
+        s = s.encode("ascii")
+    c = native.string_to_counts(s)
+    return c if c is not None else string_to_counts(s)
+
 def counts_to_string(cnts: Sequence[int]) -> bytes:
     """Encode run counts with the COCO 6-bit varint code (maskApi rleToString)."""
     s = bytearray()
@@ -115,7 +133,7 @@ def encode(mask: np.ndarray) -> Union[RLEObj, List[RLEObj]]:
         c = _mask_to_counts(mask)
     s = native.counts_to_string(c)
     if s is None:
-        s = counts_to_string(c)
+        s = _counts_to_string_fast(c)
     return {"size": [int(h), int(w)], "counts": s}
 
 
@@ -138,7 +156,7 @@ def encode_box_patch(patch: np.ndarray, x0: int, y0: int, h: int,
         "patch must lie inside the frame")
     p = np.asarray(patch, dtype=bool)
     if hb == 0 or wb == 0 or not p.any():
-        return {"size": [int(h), int(w)], "counts": counts_to_string([h * w])}
+        return {"size": [int(h), int(w)], "counts": _counts_to_string_fast([h * w])}
     padded = np.zeros((hb + 2, wb), dtype=bool)
     padded[1:-1] = p
     d = (padded[1:] != padded[:-1])           # (hb+1, wb): toggle BEFORE row
@@ -156,7 +174,7 @@ def encode_box_patch(patch: np.ndarray, x0: int, y0: int, h: int,
     counts = np.concatenate((pos[:1], np.diff(pos), [h * w - int(pos[-1])]))
     if counts[-1] == 0:   # mask reaches the frame's last pixel: canonical
         counts = counts[:-1]   # encode emits no trailing zero run
-    return {"size": [int(h), int(w)], "counts": counts_to_string(counts)}
+    return {"size": [int(h), int(w)], "counts": _counts_to_string_fast(counts)}
 
 
 def decode(rle: Union[RLEObj, List[RLEObj]]) -> np.ndarray:
@@ -166,7 +184,7 @@ def decode(rle: Union[RLEObj, List[RLEObj]]) -> np.ndarray:
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (bytes, str)):
-        counts = string_to_counts(counts)
+        counts = _string_to_counts_fast(counts)
     return _counts_to_mask(np.asarray(counts, dtype=np.int64), int(h), int(w))
 
 
@@ -176,7 +194,7 @@ def _as_compressed(rle: RLEObj) -> RLEObj:
         if isinstance(counts, str):
             return {"size": list(rle["size"]), "counts": counts.encode("ascii")}
         return rle
-    return {"size": list(rle["size"]), "counts": counts_to_string(counts)}
+    return {"size": list(rle["size"]), "counts": _counts_to_string_fast(counts)}
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +206,7 @@ def area(rle: Union[RLEObj, List[RLEObj]]):
         return np.array([area(r) for r in rle], dtype=np.uint32)
     counts = rle["counts"]
     if isinstance(counts, (bytes, str)):
-        counts = string_to_counts(counts)
+        counts = _string_to_counts_fast(counts)
     return int(np.sum(np.asarray(counts)[1::2]))
 
 
@@ -199,7 +217,7 @@ def toBbox(rle: Union[RLEObj, List[RLEObj]]) -> np.ndarray:
     h, w = (int(v) for v in rle["size"])
     counts = rle["counts"]
     if isinstance(counts, (bytes, str)):
-        counts = string_to_counts(counts)
+        counts = _string_to_counts_fast(counts)
     counts = np.asarray(counts, dtype=np.int64)
     if counts[1::2].sum() == 0:
         return np.zeros((4,), dtype=np.float64)
@@ -251,7 +269,7 @@ def merge(rles: List[RLEObj], intersect: bool = False) -> RLEObj:
 def _rle_counts(rle: RLEObj) -> np.ndarray:
     c = rle["counts"]
     if isinstance(c, (bytes, str)):
-        return string_to_counts(c)
+        return _string_to_counts_fast(c)
     return np.asarray(c, dtype=np.int64)
 
 
@@ -342,7 +360,7 @@ def frPoly(xy: Sequence[float], h: int, w: int) -> RLEObj:
             if j < kk:
                 b[-1] += int(diffs[j])
                 j += 1
-    return {"size": [int(h), int(w)], "counts": counts_to_string(b)}
+    return {"size": [int(h), int(w)], "counts": _counts_to_string_fast(b)}
 
 
 def frBbox(bb: np.ndarray, h: int, w: int) -> List[RLEObj]:
@@ -357,7 +375,7 @@ def frBbox(bb: np.ndarray, h: int, w: int) -> List[RLEObj]:
 
 def frUncompressedRLE(ucRle: Dict[str, Any]) -> RLEObj:
     h, w = ucRle["size"]
-    return {"size": [int(h), int(w)], "counts": counts_to_string(ucRle["counts"])}
+    return {"size": [int(h), int(w)], "counts": _counts_to_string_fast(ucRle["counts"])}
 
 
 def frPyObjects(pyobj, h: int, w: int):
