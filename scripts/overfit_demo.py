@@ -180,6 +180,14 @@ def main():
     train_s = time.time() - t0
     print(f"trained {args.steps} steps in {train_s:.0f}s "
           f"(final loss {float(logs['loss_total']):.3f})", file=sys.stderr)
+    # persist the trained weights BEFORE eval: a post-train crash must not
+    # cost the run (an r4 320px run lost its 804 s of training to an eval
+    # bug); the printed dir allows offline re-evaluation
+    try:
+        trainer.save_checkpoint()
+        print(f"checkpoint: {trainer.checkpoint_dir()}", file=sys.stderr)
+    except Exception as e:  # checkpointing must never kill the demo
+        print(f"checkpoint save failed: {e}", file=sys.stderr)
 
     infer = make_inference_fn(trainer.model, cfg)
     res = COCOEvaluator(name, cfg).evaluate(infer, trainer.state.params)

@@ -523,7 +523,23 @@ class COCOEvaluator:
                         else:
                             fetch_row = _row_fetcher(mp, b)
                     else:
-                        fetch_row = None   # never called
+                        # expected never to be called (no footprint
+                        # escapes found above) — but keep a LAZY per-row
+                        # fetcher rather than None: a 320px r4 run died
+                        # here on a fits-check disagreement this
+                        # pre-screen did not predict (crash in phase D,
+                        # /tmp/r4_tpu.log 08-20); one stray row fetch is
+                        # byte-identical and costs ~25 ms, a crash costs
+                        # the whole eval. The log call pinpoints any
+                        # recurrence.
+                        single = _row_fetcher(mp, b)
+
+                        def fetch_row(i, b=b, single=single):
+                            logger.warning(
+                                "patch-fit pre-screen missed a footprint "
+                                "escape (image idx %d, instance %d) — "
+                                "fetched the full row instead", b, int(i))
+                            return single(i)
                     extra = dict(mask_patches=patch_np[b],
                                  patch_origins=po, mask_hw=(hm, wm),
                                  fetch_row=fetch_row)
