@@ -118,11 +118,116 @@ def m2f_parity():
     return (cls_layers, mask_layers), tout
 
 
+def _m2f_gate_bits(masks_np, hw):
+    """Reproduce the masked-attention gate bits from a mask prediction:
+    keep = resized logit >= 0 (== sigmoid >= 0.5), empty rows unmasked —
+    the decoder's exact rule, computed here on the COMPARED outputs."""
+    t = torch.from_numpy(np.asarray(masks_np, np.float32))
+    m = torch.nn.functional.interpolate(t, size=hw, mode="bilinear",
+                                        align_corners=False)
+    keep = (m >= 0).flatten(2)
+    empty = (~keep).all(-1, keepdim=True)
+    return keep | empty
+
+
+def _m2f_close(cls_layers, mask_layers, tout, tag):
+    """M2F comparison, gate-flip robust.
+
+    Layer 0 (initial prediction) is GATE-FREE: backbone -> pixel decoder
+    -> heads must match tightly — the full numerics chain. Each later
+    layer attends through `resized_logit >= 0` gates computed from the
+    PREVIOUS layer's masks; with random weights some gate logits sit
+    within float noise of the threshold, and one legitimately flipped
+    gate diverges that query's whole row in both frameworks (verified
+    per-layer r4: layer 0 matches to 2e-6). So: recompute the gate bits
+    from both models' previous-layer masks and compare layer outputs
+    ONLY for queries whose incoming gates agree bitwise — asserting most
+    queries are comparable (a semantics bug flips far more gates or
+    diverges gate-agreeing queries, which stays detected)."""
+    a_cls = np.asarray(cls_layers, np.float32)
+    a_masks = np.asarray(mask_layers, np.float32)
+    b_cls = tout["pred_logits"].numpy().astype(np.float32)
+    b_masks = tout["pred_masks"].numpy().astype(np.float32)
+    _close(a_cls[0], tout["pred_logits"][0], f"{tag} cls layer0",
+           atol=1e-4)
+    _close(a_masks[0], tout["pred_masks"][0], f"{tag} mask layer0",
+           atol=1e-4)
+    hm, wm = a_masks.shape[-2:]
+    level_hw = [(hm // 8, wm // 8), (hm // 4, wm // 4), (hm // 2, wm // 2)]
+    n_layers = a_cls.shape[0]
+    ok = np.ones(a_cls.shape[1:3], bool)          # (B, Q)
+    n_ok = 0
+    for s in range(1, n_layers):
+        hw = level_hw[(s - 1) % len(level_hw)]
+        ga = _m2f_gate_bits(a_masks[s - 1], hw).numpy()
+        gb = _m2f_gate_bits(b_masks[s - 1], hw).numpy()
+        ok &= (ga == gb).all(-1)                  # divergence is sticky
+        n_ok += int(ok.sum())
+        da = np.abs(a_cls[s] - b_cls[s])[ok].max(initial=0.0)
+        dm = np.abs(a_masks[s] - b_masks[s])[ok].max(initial=0.0)
+        assert da < 2e-3 and dm < 4e-3, (
+            f"{tag} layer {s}: gate-agreeing queries diverge "
+            f"(cls {da:.2e}, mask {dm:.2e})")
+    total = (n_layers - 1) * ok.size
+    assert n_ok >= total // 2, (
+        f"{tag}: only {n_ok}/{total} query-layers had agreeing gates — "
+        "gates themselves diverge systematically")
+
+
 def test_mask2former_full_forward_matches(m2f_parity):
     """Flagship-family parity: masked-attention decoder end to end —
-    per-layer class logits and mask logits agree with the torch twin
-    (threshold-gated attention masks included: a single flipped gate bit
-    would diverge immediately)."""
+    tight on the gate-free layer 0, bulk-quantile on gated layers."""
     (cls_layers, mask_layers), tout = m2f_parity
-    _close(cls_layers, tout["pred_logits"], "m2f pred_logits")
-    _close(mask_layers, tout["pred_masks"], "m2f pred_masks", atol=4e-3)
+    _m2f_close(cls_layers, mask_layers, tout, "m2f")
+
+
+@pytest.fixture(scope="module")
+def swin_m2f_parity():
+    """Flagship-backbone import parity: Swin (microsoft key layout) +
+    Mask2Former, both models fed one randomized state dict. Covers patch
+    embed, shifted-window attention with pad+region masks (96px -> 24
+    patches, padded to 28 for ws=7), relative-position bias, patch
+    merging, and the per-stage out norms (whose import mapping was
+    MISSING until this test was built — norm{0..3} were silently
+    dropped)."""
+    from test_full_import import _init_variables, _tiny_cfg
+    from torch_twin import TwinSwinMask2Former
+    from vision_instance_seg_tpu.utils.weights import (
+        import_full_model_weights)
+
+    twin = TwinSwinMask2Former()
+    g = torch.Generator().manual_seed(9)
+    with torch.no_grad():
+        for p in twin.parameters():
+            p.add_(torch.randn(p.shape, generator=g) * 0.05)
+    twin.eval()
+    sd = {k: v.clone() for k, v in twin.state_dict().items()}
+
+    cfg = _tiny_cfg(dino=False)
+    cfg.MODEL.BACKBONE.NAME = "swin"
+    cfg.MODEL.SWIN.EMBED_DIM = 32
+    cfg.MODEL.SWIN.DEPTHS = [2, 2, 2, 2]
+    cfg.MODEL.SWIN.NUM_HEADS = [2, 2, 2, 2]
+    cfg.MODEL.SWIN.WINDOW_SIZE = 7
+    cfg.MODEL.SWIN.DROP_PATH_RATE = 0.0
+    model, variables = _init_variables(cfg)
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as d:
+        path = pathlib.Path(d) / "swin_m2f.pth"
+        torch.save({"model": sd}, str(path))
+        new_vars, report = import_full_model_weights(str(path), variables)
+    assert report["unmapped"] == [], report["unmapped"][:10]
+
+    rng = np.random.default_rng(17)
+    images = rng.integers(0, 256, (1, 96, 96, 3)).astype(np.float32)
+    norm = np.asarray(normalize_image(jnp.asarray(images), cfg))
+    cls_layers, mask_layers = model.apply(new_vars, jnp.asarray(norm),
+                                          deterministic=True)
+    with torch.no_grad():
+        tout = twin(torch.from_numpy(norm.transpose(0, 3, 1, 2).copy()))
+    return (cls_layers, mask_layers), tout
+
+
+def test_swin_mask2former_full_forward_matches(swin_m2f_parity):
+    (cls_layers, mask_layers), tout = swin_m2f_parity
+    _m2f_close(cls_layers, mask_layers, tout, "swin m2f")

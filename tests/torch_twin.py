@@ -264,7 +264,8 @@ class DeformableEncoderLayer(nn.Module):
 class PixelDecoder(nn.Module):
     """maskdino_encoder.MSDeformAttnPixelDecoder twin (4s_dowsample1)."""
 
-    def __init__(self, c, nh, npts, ffn, n_enc, levels, bb_ch=(2048, 1024, 512)):
+    def __init__(self, c, nh, npts, ffn, n_enc, levels,
+                 bb_ch=(2048, 1024, 512), lateral_ch=256):
         super().__init__()
         self.c, self.levels = c, levels
         n_tf = len(bb_ch)
@@ -285,7 +286,7 @@ class PixelDecoder(nn.Module):
         transformer.encoder = encoder
         self.transformer = transformer
         self.lateral_convs = nn.ModuleList(
-            [_d2conv(256, c, 1, norm=nn.GroupNorm(32, c))])
+            [_d2conv(lateral_ch, c, 1, norm=nn.GroupNorm(32, c))])
         self.output_convs = nn.ModuleList(
             [_d2conv(c, c, 3, padding=1, norm=nn.GroupNorm(32, c))])
         self.mask_features = nn.Conv2d(c, c, 1)
@@ -600,6 +601,190 @@ class TwinMask2Former(nn.Module):
         sem_seg_head = nn.Module()
         sem_seg_head.pixel_decoder = PixelDecoder(
             c, nh, npts, enc_ffn, n_enc, levels=3)
+        sem_seg_head.predictor = Mask2FormerPredictor(
+            c, nh, dec_ffn, n_dec, ncls, nq)
+        self.sem_seg_head = sem_seg_head
+
+    def forward(self, images_nchw):
+        feats = self.backbone(images_nchw)
+        mask_features, maps = self.sem_seg_head.pixel_decoder(feats)
+        return self.sem_seg_head.predictor(maps, mask_features)
+
+
+# ------------------------------------------------- Swin backbone (det fork)
+
+class SwinWindowAttentionT(nn.Module):
+    """W-MSA with relative position bias (microsoft Swin layout)."""
+
+    def __init__(self, dim, ws, nh):
+        super().__init__()
+        self.ws, self.nh = ws, nh
+        self.scale = (dim // nh) ** -0.5
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros((2 * ws - 1) ** 2, nh))
+        coords = torch.stack(torch.meshgrid(
+            torch.arange(ws), torch.arange(ws), indexing="ij"))  # 2, ws, ws
+        flat = coords.flatten(1)                                 # 2, N
+        rel = flat[:, :, None] - flat[:, None, :]                # 2, N, N
+        rel = rel.permute(1, 2, 0) + (ws - 1)
+        idx = rel[:, :, 0] * (2 * ws - 1) + rel[:, :, 1]
+        self.register_buffer("relative_position_index", idx,
+                             persistent=False)
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x, mask):
+        b_, n, c = x.shape
+        qkv = (self.qkv(x).reshape(b_, n, 3, self.nh, c // self.nh)
+               .permute(2, 0, 3, 1, 4))
+        q, k, v = qkv[0] * self.scale, qkv[1], qkv[2]
+        attn = q @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.reshape(-1)].reshape(n, n, self.nh)
+        attn = attn + bias.permute(2, 0, 1)[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = (attn.view(b_ // nw, nw, self.nh, n, n)
+                    + mask[None, :, None]).view(b_, self.nh, n, n)
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(b_, n, c)
+        return self.proj(x)
+
+
+class SwinMlpT(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(F.gelu(self.fc1(x)))
+
+
+def _swin_window_partition(x, ws):
+    b, h, w, c = x.shape
+    x = x.view(b, h // ws, ws, w // ws, ws, c)
+    return (x.permute(0, 1, 3, 2, 4, 5).contiguous()
+            .view(-1, ws * ws, c))
+
+
+def _swin_window_reverse(win, ws, h, w):
+    b = win.shape[0] // (h * w // ws // ws)
+    x = win.view(b, h // ws, w // ws, ws, ws, -1)
+    return x.permute(0, 1, 3, 2, 4, 5).contiguous().view(b, h, w, -1)
+
+
+def _swin_shift_mask(hp, wp, ws, shift):
+    img = torch.zeros(1, hp, wp, 1)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[:, hs, wsl] = cnt
+            cnt += 1
+    win = _swin_window_partition(img, ws).view(-1, ws * ws)
+    diff = win[:, None, :] - win[:, :, None]
+    return diff.masked_fill(diff != 0, -100.0).masked_fill(diff == 0, 0.0)
+
+
+class SwinBlockT(nn.Module):
+    def __init__(self, dim, nh, ws, shift, mlp_ratio=4.0):
+        super().__init__()
+        self.ws, self.shift = ws, shift
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = SwinWindowAttentionT(dim, ws, nh)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = SwinMlpT(dim, int(dim * mlp_ratio))
+
+    def forward(self, x):
+        # x: (B, H, W, C) — pad to window multiples inside, like upstream
+        b, h, w, c = x.shape
+        ws = self.ws
+        shortcut = x
+        x = self.norm1(x)
+        ph, pw = (ws - h % ws) % ws, (ws - w % ws) % ws
+        if ph or pw:
+            x = F.pad(x, (0, 0, 0, pw, 0, ph))
+        hp, wp = h + ph, w + pw
+        if self.shift:
+            x = torch.roll(x, (-self.shift, -self.shift), dims=(1, 2))
+            mask = _swin_shift_mask(hp, wp, ws, self.shift)
+        else:
+            mask = None
+        xw = _swin_window_partition(x, ws)
+        xw = self.attn(xw, mask)
+        x = _swin_window_reverse(xw, ws, hp, wp)
+        if self.shift:
+            x = torch.roll(x, (self.shift, self.shift), dims=(1, 2))
+        x = shortcut + x[:, :h, :w]
+        return x + self.mlp(self.norm2(x))
+
+
+class PatchMergingT(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.norm = nn.LayerNorm(4 * dim)
+        self.reduction = nn.Linear(4 * dim, 2 * dim, bias=False)
+
+    def forward(self, x):
+        b, h, w, c = x.shape
+        if h % 2 or w % 2:
+            x = F.pad(x, (0, 0, 0, w % 2, 0, h % 2))
+        x = torch.cat([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                       x[:, 0::2, 1::2], x[:, 1::2, 1::2]], -1)
+        return self.reduction(self.norm(x))
+
+
+class SwinT(nn.Module):
+    """Detection-fork Swin backbone twin (timm/microsoft key layout:
+    patch_embed.proj/.norm, layers.{s}.blocks.{b}.*,
+    layers.{s}.downsample.*, per-stage out norms norm{0..3})."""
+
+    def __init__(self, dim=32, depths=(2, 2, 2, 2), heads=(2, 2, 2, 2),
+                 ws=7):
+        super().__init__()
+        patch_embed = nn.Module()
+        patch_embed.proj = nn.Conv2d(3, dim, 4, stride=4)
+        patch_embed.norm = nn.LayerNorm(dim)
+        self.patch_embed = patch_embed
+        self.layers = nn.ModuleList()
+        for s, depth in enumerate(depths):
+            d = dim * 2 ** s
+            stage = nn.Module()
+            stage.blocks = nn.ModuleList(
+                SwinBlockT(d, heads[s], ws, 0 if i % 2 == 0 else ws // 2)
+                for i in range(depth))
+            if s < len(depths) - 1:
+                stage.downsample = PatchMergingT(d)
+            self.layers.append(stage)
+            self.add_module(f"norm{s}", nn.LayerNorm(d))
+
+    def forward(self, images_nchw):
+        x = self.patch_embed.proj(images_nchw)        # (B, C, H/4, W/4)
+        x = x.permute(0, 2, 3, 1)                     # NHWC
+        x = self.patch_embed.norm(x)
+        feats = {}
+        for s, stage in enumerate(self.layers):
+            for blk in stage.blocks:
+                x = blk(x)
+            f = getattr(self, f"norm{s}")(x)
+            feats[f"res{s + 2}"] = f.permute(0, 3, 1, 2)   # NCHW out
+            if hasattr(stage, "downsample"):
+                x = stage.downsample(x)
+        return feats
+
+
+class TwinSwinMask2Former(nn.Module):
+    """Mask2Former with the Swin twin backbone (flagship family import)."""
+
+    def __init__(self, c=32, nh=4, npts=4, enc_ffn=1024, dec_ffn=64,
+                 n_enc=2, n_dec=2, ncls=1, nq=8, swin_dim=32):
+        super().__init__()
+        self.backbone = SwinT(dim=swin_dim)
+        bb = (swin_dim * 8, swin_dim * 4, swin_dim * 2)   # res5, res4, res3
+        sem_seg_head = nn.Module()
+        sem_seg_head.pixel_decoder = PixelDecoder(
+            c, nh, npts, enc_ffn, n_enc, levels=3, bb_ch=bb,
+            lateral_ch=swin_dim)
         sem_seg_head.predictor = Mask2FormerPredictor(
             c, nh, dec_ffn, n_dec, ncls, nq)
         self.sem_seg_head = sem_seg_head

@@ -511,6 +511,31 @@ class COCOEvaluator:
                     # prefix (few dispatches, all leading rows) vs one
                     # dispatch per bad row. Cost model for this platform's
                     # tunnel: ~25 ms/dispatch + ~50 ms/MB.
+                    # the pre-screen picks the fetch strategy; the
+                    # per-instance check in postprocess_instances makes
+                    # the ACTUAL warp decision. They evaluate the same
+                    # expression on the same arrays, yet two r4 320px
+                    # runs crashed on an instance the pre-screen did not
+                    # flag (fetch_row None / prefix IndexError at i=31,
+                    # /tmp/r4_tpu.log 08-20) — so fetch_row must be
+                    # TOTAL: prefix rows where prefetched, lazy single-
+                    # row fetch beyond (byte-identical, ~25 ms), plus a
+                    # detailed log to root-cause the disagreement.
+                    single = _row_fetcher(mp, b)
+
+                    def _escape_log(i, b=b, mb=mb, po=po, pp=pp, hm=hm,
+                                    wm=wm, sx=sx, sy=sy, oh=oh, ow=ow,
+                                    bad=tuple(bad)):
+                        logger.warning(
+                            "patch-fit disagreement: image idx %d inst %d "
+                            "not in pre-screen bad=%s; box=%s origin=%s "
+                            "pp=%d hm=%d wm=%d sx=%.8g sy=%.8g oh=%d "
+                            "ow=%d fits=%s", b, int(i), bad,
+                            mb[int(i)].tolist(), po[int(i)].tolist(), pp,
+                            hm, wm, sx, sy, oh, ow,
+                            _patch_fits(mb[int(i)], po[int(i)], pp, hm,
+                                        wm, sx, sy, oh, ow))
+
                     if bad:
                         n_pref = max(bad) + 1
                         row_mb = hm * wm / 1e6
@@ -519,26 +544,18 @@ class COCOEvaluator:
                         single_cost = len(bad) * (25 + row_mb * 50)
                         if pref_cost < single_cost:
                             rows = _fetch_prefix(mp, b, n_pref)
-                            fetch_row = lambda i, rows=rows: rows[int(i)]
-                        else:
-                            fetch_row = _row_fetcher(mp, b)
-                    else:
-                        # expected never to be called (no footprint
-                        # escapes found above) — but keep a LAZY per-row
-                        # fetcher rather than None: a 320px r4 run died
-                        # here on a fits-check disagreement this
-                        # pre-screen did not predict (crash in phase D,
-                        # /tmp/r4_tpu.log 08-20); one stray row fetch is
-                        # byte-identical and costs ~25 ms, a crash costs
-                        # the whole eval. The log call pinpoints any
-                        # recurrence.
-                        single = _row_fetcher(mp, b)
 
-                        def fetch_row(i, b=b, single=single):
-                            logger.warning(
-                                "patch-fit pre-screen missed a footprint "
-                                "escape (image idx %d, instance %d) — "
-                                "fetched the full row instead", b, int(i))
+                            def fetch_row(i, rows=rows, n=n_pref,
+                                          single=single, log=_escape_log):
+                                if int(i) < n:
+                                    return rows[int(i)]
+                                log(i)
+                                return single(i)
+                        else:
+                            fetch_row = single
+                    else:
+                        def fetch_row(i, single=single, log=_escape_log):
+                            log(i)
                             return single(i)
                     extra = dict(mask_patches=patch_np[b],
                                  patch_origins=po, mask_hw=(hm, wm),

@@ -198,3 +198,51 @@ def position_embedding_sine(h: int, w: int, dim: int,
 def inverse_sigmoid(x, eps: float = 1e-5):
     x = jnp.clip(x, eps, 1 - eps)
     return jnp.log(x / (1 - x))
+
+
+def _interp_matrix_2tap(n_in: int, n_out: int) -> "np.ndarray":
+    """(n_out, n_in) torch-style bilinear resampling matrix.
+
+    align_corners=False half-pixel sampling with TWO taps per output and
+    edge replication — torch ``F.interpolate(mode='bilinear')`` exactly.
+    ``jax.image.resize(method='bilinear')`` matches this on UPSCALING but
+    ANTIALIASES on downscaling (triangle filter widened by the scale
+    factor), which silently diverged the Mask2Former attention-gate
+    logits from the reference's (found r4 by the Swin torch twin:
+    gate-agreeing queries diverged while every ungated tensor matched).
+    """
+    import numpy as np
+
+    pos = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    lo = np.floor(pos).astype(np.int64)
+    frac = (pos - lo).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        l0 = min(max(lo[o], 0), n_in - 1)
+        l1 = min(max(lo[o] + 1, 0), n_in - 1)
+        m[o, l0] += 1.0 - frac[o]
+        m[o, l1] += frac[o]
+    return m
+
+
+def resize_bilinear_2tap(x: jnp.ndarray, h_out: int, w_out: int,
+                         spatial_axes=(-2, -1)) -> jnp.ndarray:
+    """Torch-parity bilinear resize over two trailing-ish spatial axes.
+
+    Separable 2-tap resampling as two small matmuls (MXU work — faster on
+    TPU than a gather-based resize, and exactly ``F.interpolate(...,
+    mode='bilinear', align_corners=False, antialias=False)`` for up- AND
+    down-scaling). Accumulates in f32 and casts back to x.dtype.
+    """
+    import numpy as np
+
+    ah, aw = (a % x.ndim for a in spatial_axes)
+    h_in, w_in = x.shape[ah], x.shape[aw]
+    if h_in == h_out and w_in == w_out:
+        return x
+    my = jnp.asarray(_interp_matrix_2tap(h_in, h_out))
+    mx = jnp.asarray(_interp_matrix_2tap(w_in, w_out))
+    y = jnp.moveaxis(x, (ah, aw), (-2, -1)).astype(jnp.float32)
+    y = jnp.einsum("oh,...hw->...ow", my, y)
+    y = jnp.einsum("pw,...hw->...hp", mx, y)
+    return jnp.moveaxis(y, (-2, -1), (ah, aw)).astype(x.dtype)

@@ -36,7 +36,8 @@ from vision_instance_seg_tpu.models.box_ops import (
 from vision_instance_seg_tpu.models.deform_attn import (
     DeformCoreFn, MSDeformAttn)
 from vision_instance_seg_tpu.models.layers import (
-    LayerNorm, inverse_sigmoid, position_embedding_sine, trunc_normal_init, embedding_init)
+    LayerNorm, inverse_sigmoid, position_embedding_sine,
+    resize_bilinear_2tap, trunc_normal_init, embedding_init)
 from vision_instance_seg_tpu.models.transformer_decoder import (
     MLPHead, MultiheadAttention)
 
@@ -444,10 +445,9 @@ class MaskDINODecoder(nn.Module):
             # logit is then one small einsum per layer (resize is linear in
             # the features, so this equals resizing the full-res logits —
             # see transformer_decoder._attn_mask_from_features)
-            mf_levels = [jax.image.resize(
-                mask_features,
-                (b, h, w, mask_features.shape[-1]),
-                method="bilinear").astype(self.dtype)
+            mf_levels = [resize_bilinear_2tap(
+                mask_features, h, w,
+                spatial_axes=(1, 2)).astype(self.dtype)
                 for (h, w) in shapes]
         for li in range(self.dec_layers):
             # query pos embedding from current reference boxes (sine of 4d)

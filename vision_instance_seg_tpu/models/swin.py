@@ -227,7 +227,14 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
                  drop_path_rate=None) -> jnp.ndarray:
-        # x: (B, H, W, C) with H, W already padded to window multiples;
+        # x: (B, H, W, C) UNPADDED; window padding happens here, AFTER
+        # norm1, exactly like the upstream detection fork — pad tokens
+        # must enter attention as exact ZEROS. The r1-r3 layout padded at
+        # stage level (before norm1), so pad tokens carried LN(0) =
+        # gamma*(-mu/sigma)+beta instead of 0 and real tokens in mixed
+        # windows attended to different pad values than torch; found r4
+        # by the Swin torch twin (tests/test_torch_parity.py), largest at
+        # high pad fractions (res5 3x3 -> 7x7).
         # drop_path_rate: optional traced scalar overriding self.drop_path
         # (scanned stages feed per-block rates as scan inputs)
         b, h, w, c = x.shape
@@ -235,13 +242,14 @@ class SwinBlock(nn.Module):
 
         shortcut = x
         x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x, hp, wp = _pad_to_windows(x, ws)
         use_geo = getattr(self.attn_fn, "wants_geometry", False)
         use_nhwc = getattr(self.attn_fn, "wants_nhwc", False) and ws % 8 == 0
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
             # geometry-aware kernels derive the region mask in-kernel
             mask = None if (use_geo or use_nhwc) else jnp.asarray(
-                _shift_attn_mask(h, w, ws, shift))
+                _shift_attn_mask(hp, wp, ws, shift))
         else:
             mask = None
         attn = WindowAttention(
@@ -249,15 +257,16 @@ class SwinBlock(nn.Module):
             dtype=self.dtype, attn_fn=self.attn_fn, name="attn")
         if use_nhwc:
             # fused partition+attention+merge kernel: stays NHWC end to end
-            x = attn(x, None, (h // ws) * (w // ws),
-                     geometry=(h, w, ws, shift))
+            x = attn(x, None, (hp // ws) * (wp // ws),
+                     geometry=(hp, wp, ws, shift))
         else:
             xw = window_partition(x, ws)
-            xw = attn(xw, mask, (h // ws) * (w // ws),
-                      geometry=(h, w, ws, shift) if use_geo else None)
-            x = window_unpartition(xw, ws, h, w)
+            xw = attn(xw, mask, (hp // ws) * (wp // ws),
+                      geometry=(hp, wp, ws, shift) if use_geo else None)
+            x = window_unpartition(xw, ws, hp, wp)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = x[:, :h, :w]
         x = shortcut + DropPath(self.drop_path)(x, deterministic,
                                                 rate=drop_path_rate)
 
@@ -404,10 +413,9 @@ class SwinTransformer(nn.Module):
         blk_i = 0
         for stage in range(len(self.depths)):
             dim = self.embed_dim * (2 ** stage)
-            h0, w0 = x.shape[1], x.shape[2]
-            # pad to window multiples for the blocks, crop back after —
-            # feature strides stay exactly 4/8/16/32 w.r.t. the input canvas
-            x, hp, wp = _pad_to_windows(x, self.window_size)
+            # window padding lives INSIDE SwinBlock (post-norm1, upstream
+            # semantics — see SwinBlock docstring); feature strides stay
+            # exactly 4/8/16/32 w.r.t. the input canvas
             depth = self.depths[stage]
             if self.scan_stages and depth % 2 == 0 and depth >= 4:
                 # one scanned pair trace (length-1 scans gain nothing, so
@@ -439,7 +447,6 @@ class SwinTransformer(nn.Module):
                         dtype=self.dtype, attn_fn=self.attn_fn,
                         name=f"stage{stage}_block{d}")(x, deterministic)
                     blk_i += 1
-            x = x[:, :h0, :w0]
             feat_name = f"res{stage + 2}"
             if feat_name in self.out_features:
                 # per-output-scale LN (matches torch impl's out norms)

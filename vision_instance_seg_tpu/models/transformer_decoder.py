@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vision_instance_seg_tpu.models.layers import (
-    LayerNorm, position_embedding_sine, trunc_normal_init, embedding_init)
+    LayerNorm, position_embedding_sine, resize_bilinear_2tap,
+    trunc_normal_init, embedding_init)
 
 
 class MultiheadAttention(nn.Module):
@@ -151,9 +152,12 @@ class MaskedTransformerDecoder(nn.Module):
         return jnp.broadcast_to(bias[:, None], (b, nh, q, h * w))
 
     def _attn_mask(self, mask_logits, h, w, nh):
-        """Downsample mask prediction to the attended scale -> additive bias."""
-        b, q = mask_logits.shape[:2]
-        m = jax.image.resize(mask_logits, (b, q, h, w), method="bilinear")
+        """Downsample mask prediction to the attended scale -> additive bias.
+
+        2-tap torch-parity resize, NOT jax.image.resize: the latter
+        antialiases on downscaling and flips threshold-adjacent gate bits
+        vs the reference (see layers.resize_bilinear_2tap)."""
+        m = resize_bilinear_2tap(mask_logits, h, w)
         return self._bias_from_level_logits(m, nh)
 
     @staticmethod
@@ -218,9 +222,9 @@ class MaskedTransformerDecoder(nn.Module):
                          name="mask_embed"))
 
         if not aux_masks:
-            mf_levels = [jax.image.resize(
-                mask_features, (b, h, w, mask_features.shape[-1]),
-                method="bilinear") for (h, w) in shapes]
+            mf_levels = [resize_bilinear_2tap(
+                mask_features, h, w, spatial_axes=(1, 2))
+                for (h, w) in shapes]
 
         cls_out, mask_out = [], []
         if aux_masks:

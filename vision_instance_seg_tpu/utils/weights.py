@@ -91,8 +91,16 @@ def _swin_key_map(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
     for k, v in state.items():
         if k.startswith("head.") or k.endswith("attn_mask") \
                 or "relative_position_index" in k or k.startswith("norm."):
+            # "norm." = the CLASSIFICATION head's final norm (timm); the
+            # detection fork's per-stage out norms are "norm{i}." and ARE
+            # mapped below (dropping them silently left imported
+            # checkpoints with default out-norm scale/bias — found r4
+            # while building the torch Swin twin)
             continue
-        if k == "absolute_pos_embed":
+        if m := re.fullmatch(r"norm(\d)\.(weight|bias)", k):
+            put((f"norm{m.group(1)}",
+                 "scale" if m.group(2) == "weight" else "bias"), v)
+        elif k == "absolute_pos_embed":
             # detection-fork APE: (1, C, Hp, Wp) NCHW -> our (1, Hp, Wp, C)
             put(("absolute_pos_embed",), np.transpose(v, (0, 2, 3, 1)))
         elif k == "patch_embed.proj.weight":
