@@ -271,7 +271,11 @@ def get_cfg() -> CN:
     # fall back to a single-row fetch of the full map, so results stay
     # byte-identical to PATCH_POSTPROCESS=False (tested).
     _C.TEST.PATCH_POSTPROCESS = True
-    _C.TEST.PATCH_SIZE = 64
+    # 128 (was 64): the r4 eval profile showed 58% of the loop inside
+    # full-row D2H fallbacks — at 800px trained blobs routinely exceed a
+    # 64px mask-res patch. 128 fits instances to ~124px at mask res;
+    # patch bytes 4x but still a fraction of a full row + its dispatch
+    _C.TEST.PATCH_SIZE = 128
 
     # ------------------------------------------------------------------- TPU
     _C.TPU = CN()
