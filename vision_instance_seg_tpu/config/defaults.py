@@ -271,11 +271,12 @@ def get_cfg() -> CN:
     # fall back to a single-row fetch of the full map, so results stay
     # byte-identical to PATCH_POSTPROCESS=False (tested).
     _C.TEST.PATCH_POSTPROCESS = True
-    # 128 (was 64): the r4 eval profile showed 58% of the loop inside
-    # full-row D2H fallbacks — at 800px trained blobs routinely exceed a
-    # 64px mask-res patch. 128 fits instances to ~124px at mask res;
-    # patch bytes 4x but still a fraction of a full row + its dispatch
-    _C.TEST.PATCH_SIZE = 128
+    # 64 stands (r4 A/B): the eval profile showed 58% of the loop in
+    # full-row fallbacks for patch-escaping instances, but raising the
+    # patch to 128 measured WORSE end to end (4.4 vs 10.3 img/s on the
+    # trained-checkpoint bench) — the 4x patch prefix bytes through the
+    # ~50 ms/MB tunnel cost more than the fallbacks they avoided
+    _C.TEST.PATCH_SIZE = 64
 
     # ------------------------------------------------------------------- TPU
     _C.TPU = CN()
