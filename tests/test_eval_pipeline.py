@@ -551,3 +551,44 @@ def test_evaluator_device_fetch_paths_identical(mini_coco, eval_cfg,
         for key, v in baseline[task].items():
             np.testing.assert_equal(cost_model[task][key], v)
     assert baseline["segm"]["AP50"] == pytest.approx(100.0, abs=1e-4)
+
+
+def test_box_scaling_does_not_clobber_patch_geometry():
+    """Regression (r4): the bbox-conversion branch rebound sx/sy INSIDE the
+    instance loop, so on the MaskDINO path (boxes present) every instance
+    after the first failed _patch_fits with canvas-scale values (~325) and
+    fell back to a full-row fetch — 2050 stray fetches per 127-image eval
+    and two crashes before the fallback was made total. With patches that
+    provably fit, NO instance may invoke fetch_row."""
+    import numpy as np
+    from vision_instance_seg_tpu.engine.evaluator import (
+        postprocess_instances)
+
+    hm = wm = 80
+    p = 64
+    k = 4
+    scores = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    labels = np.zeros(k, np.int64)
+    patches = np.zeros((k, p, p), np.uint8)
+    origins = np.zeros((k, 2), np.int32)
+    boxes01 = np.zeros((k, 4), np.float32)
+    mask_boxes = np.zeros((k, 4), np.int32)
+    for i in range(k):
+        # small interior blobs, patches at the map origin: all fit
+        mask_boxes[i] = [20 + i, 20, 30 + i, 30]
+        patches[i, 20:30, 20 + i:30 + i] = 255
+        boxes01[i] = [0.2, 0.2, 0.4, 0.4]
+
+    def boom(i):
+        raise AssertionError(
+            f"fetch_row called for instance {i} — patch-fit geometry "
+            "was clobbered by the box-scaling branch")
+
+    results = postprocess_instances(
+        None, scores, labels, 246, 320, 320, 320, 250, 325, 1, [1],
+        score_thresh=0.05, boxes=boxes01, mask_boxes=mask_boxes,
+        fast=True, mask_patches=patches, patch_origins=origins,
+        mask_hw=(hm, wm), fetch_row=boom)
+    assert len(results) == k
+    for r in results:
+        assert r["bbox"][2] > 0 and r["bbox"][3] > 0

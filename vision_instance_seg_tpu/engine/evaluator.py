@@ -367,11 +367,20 @@ def postprocess_instances(mask_probs: np.ndarray, scores: np.ndarray,
         if isinstance(seg["counts"], bytes):
             seg = dict(seg, counts=seg["counts"].decode("ascii"))
         if boxes is not None:
-            # normalized-canvas xyxy -> original-image xywh
-            sx = canvas_w / max(valid_w, 1) * orig_w
-            sy = canvas_h / max(valid_h, 1) * orig_h
-            x0, y0, x1, y1 = (float(boxes[i, 0]) * sx, float(boxes[i, 1]) * sy,
-                              float(boxes[i, 2]) * sx, float(boxes[i, 3]) * sy)
+            # normalized-canvas xyxy -> original-image xywh. LOCAL names:
+            # this branch used to rebind ``sx``/``sy`` INSIDE the instance
+            # loop, clobbering the patch-fit geometry for every following
+            # instance — on the MaskDINO path (boxes present) every
+            # instance after the first failed _patch_fits with sx=325 and
+            # fell back to a full-row fetch (2050 stray fetches per 127-
+            # image eval; two eval crashes before the fallback was made
+            # total). Root-caused r4 via the traced-fits repro.
+            bsx = canvas_w / max(valid_w, 1) * orig_w
+            bsy = canvas_h / max(valid_h, 1) * orig_h
+            x0, y0, x1, y1 = (float(boxes[i, 0]) * bsx,
+                              float(boxes[i, 1]) * bsy,
+                              float(boxes[i, 2]) * bsx,
+                              float(boxes[i, 3]) * bsy)
             x0, y0 = max(x0, 0.0), max(y0, 0.0)
             x1, y1 = min(x1, orig_w), min(y1, orig_h)
             bbox = [x0, y0, max(x1 - x0, 0.0), max(y1 - y0, 0.0)]
