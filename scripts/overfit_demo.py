@@ -92,6 +92,8 @@ def main():
                     help="force the CPU backend (JAX_PLATFORMS env is not "
                          "honored here — the axon TPU plugin pre-registers "
                          "and wins, and hangs when the tunnel is down)")
+    ap.add_argument("opts", nargs="*", default=[],
+                    help="trailing KEY VALUE config overrides")
     args = ap.parse_args()
 
     import jax
@@ -173,6 +175,8 @@ def main():
     cfg.DATASETS.TRAIN = (name,)
     cfg.DATASETS.TEST = (name,)
     cfg.OUTPUT_DIR = str(root / "out")
+    if args.opts:
+        cfg.merge_from_list(list(args.opts))
 
     t0 = time.time()
     trainer = Trainer(cfg)
