@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--images", type=int, default=24)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--image-size", type=int, default=800)
+    ap.add_argument("--maskdino", action="store_true",
+                    help="MaskDINO model (box-head outputs -> the "
+                         "boxes-present postprocess branch)")
     ap.add_argument("--profile", action="store_true",
                     help="cProfile the timed evaluate() pass and print the "
                          "top-25 cumulative host functions (what of the "
@@ -62,6 +65,12 @@ def main():
 
     cfg = get_cfg()
     cfg.MODEL.SEM_SEG_HEAD.ENCODER_ATTENTION = "window"
+    if args.maskdino:
+        # the boxes-present postprocess path (exercises the bbox branch
+        # whose sx/sy rebinding bug silently forced full-row fallbacks
+        # until r4 — see engine/evaluator.py)
+        cfg.MODEL.MASK_DINO.ENABLED = True
+        cfg.MODEL.MASK_DINO.CROSS_ATTENTION = "dense"
     cfg.INPUT.TEST_PAD_H = cfg.INPUT.TEST_PAD_W = args.image_size
     cfg.TEST.BATCH_SIZE = args.batch
     if args.trained_steps:
@@ -113,6 +122,7 @@ def main():
                    if args.trained_steps else "eval_pipeline_images_per_sec"),
         "value": round(args.images / dt, 2), "unit": "images/s",
         "detail": {"backend": jax.default_backend(),
+                   "model": "maskdino" if args.maskdino else "mask2former",
                    "images": args.images, "batch": args.batch,
                    "image_size": args.image_size,
                    "trained_steps": args.trained_steps,
