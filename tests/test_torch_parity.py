@@ -231,3 +231,35 @@ def swin_m2f_parity():
 def test_swin_mask2former_full_forward_matches(swin_m2f_parity):
     (cls_layers, mask_layers), tout = swin_m2f_parity
     _m2f_close(cls_layers, mask_layers, tout, "swin m2f")
+
+
+@pytest.mark.parametrize("shape_out", [(3, 3), (6, 6), (12, 12), (48, 48),
+                                       (5, 9)])
+def test_resize_bilinear_2tap_matches_torch(shape_out):
+    """layers.resize_bilinear_2tap == F.interpolate(bilinear,
+    align_corners=False, antialias=False) for down- AND up-scaling —
+    the attention-gate resample the decoders rely on for torch parity
+    (jax.image.resize antialiases on downscale and is NOT equal)."""
+    from vision_instance_seg_tpu.models.layers import resize_bilinear_2tap
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 5, 24, 24)).astype(np.float32)
+    h, w = shape_out
+    ours = np.asarray(resize_bilinear_2tap(jnp.asarray(x), h, w))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(h, w), mode="bilinear",
+        align_corners=False).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_bilinear_2tap_nhwc_axes():
+    from vision_instance_seg_tpu.models.layers import resize_bilinear_2tap
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 24, 24, 7)).astype(np.float32)
+    ours = np.asarray(resize_bilinear_2tap(jnp.asarray(x), 6, 6,
+                                           spatial_axes=(1, 2)))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(6, 6),
+        mode="bilinear", align_corners=False).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
