@@ -181,21 +181,24 @@ def test_mask2former_full_forward_matches(m2f_parity):
     _m2f_close(cls_layers, mask_layers, tout, "m2f")
 
 
-@pytest.fixture(scope="module")
-def swin_m2f_parity():
+@pytest.fixture(scope="module", params=[7, 8],
+                ids=["ws7-parity", "ws8-flagship"])
+def swin_m2f_parity(request):
     """Flagship-backbone import parity: Swin (microsoft key layout) +
     Mask2Former, both models fed one randomized state dict. Covers patch
     embed, shifted-window attention with pad+region masks (96px -> 24
-    patches, padded to 28 for ws=7), relative-position bias, patch
-    merging, and the per-stage out norms (whose import mapping was
-    MISSING until this test was built — norm{0..3} were silently
-    dropped)."""
+    patches, padded to 28 for ws=7 / 32 for ws=8 — the FLAGSHIP's window
+    size, including its heavily-padded 3x3->8x8 stage-4 geometry),
+    relative-position bias, patch merging, and the per-stage out norms
+    (whose import mapping was MISSING until this test was built —
+    norm{0..3} were silently dropped)."""
+    ws = request.param
     from test_full_import import _init_variables, _tiny_cfg
     from torch_twin import TwinSwinMask2Former
     from vision_instance_seg_tpu.utils.weights import (
         import_full_model_weights)
 
-    twin = TwinSwinMask2Former()
+    twin = TwinSwinMask2Former(ws=ws)
     g = torch.Generator().manual_seed(9)
     with torch.no_grad():
         for p in twin.parameters():
@@ -208,7 +211,7 @@ def swin_m2f_parity():
     cfg.MODEL.SWIN.EMBED_DIM = 32
     cfg.MODEL.SWIN.DEPTHS = [2, 2, 2, 2]
     cfg.MODEL.SWIN.NUM_HEADS = [2, 2, 2, 2]
-    cfg.MODEL.SWIN.WINDOW_SIZE = 7
+    cfg.MODEL.SWIN.WINDOW_SIZE = ws
     cfg.MODEL.SWIN.DROP_PATH_RATE = 0.0
     model, variables = _init_variables(cfg)
     import tempfile, pathlib
