@@ -88,6 +88,23 @@ def main():
                     help="scale on the box L1/GIoU LOSS weights (0 = "
                          "mask-only MaskDINO, isolates whether box-loss "
                          "gradients dilute the shared trunk)")
+    # offline re-eval + transfer-init (VERDICT r4 #1/#2): reuse a previous
+    # run's synthetic dataset + checkpoint instead of retraining (an r4
+    # flagship 127-image run lost its eval to a since-fixed fetch_row bug;
+    # the checkpoint and data survived in /tmp)
+    ap.add_argument("--data-root", default=None,
+                    help="existing mini-COCO dir (annotations.json + "
+                         "images/) from a previous run; skips generation "
+                         "and keeps OUTPUT_DIR inside it")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; restore the latest checkpoint "
+                         "from OUTPUT_DIR/checkpoints and evaluate")
+    ap.add_argument("--init-from", default=None,
+                    help="orbax checkpoint dir to transfer-init PARAMS "
+                         "from (fresh optimizer/step) — e.g. a converged "
+                         "320px checkpoint as the stand-in for the "
+                         "reference's unavailable ImageNet init on an "
+                         "800px budget; param trees must match")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (JAX_PLATFORMS env is not "
                          "honored here — the axon TPU plugin pre-registers "
@@ -110,15 +127,20 @@ def main():
     from vision_instance_seg_tpu.engine.trainer import Trainer
     from vision_instance_seg_tpu.models import make_inference_fn
 
-    root = Path(tempfile.mkdtemp(prefix="vist_overfit_")) / "mini"
-    root.mkdir(parents=True)
-    # canvas and blob radii scale with --image-size so instance/canvas
-    # proportions match the 256px micro setup at any scale
-    s = args.image_size / 256.0
-    mc = make_mini_coco(root, n_images=args.n_images, seed=0,
-                        height=int(200 * s), width=int(260 * s),
-                        max_inst=args.max_inst,
-                        radius=(8 * s, 18 * s))
+    if args.data_root:
+        root = Path(args.data_root)
+        mc = {"ann_file": str(root / "annotations.json"),
+              "image_dir": str(root / "images")}
+    else:
+        root = Path(tempfile.mkdtemp(prefix="vist_overfit_")) / "mini"
+        root.mkdir(parents=True)
+        # canvas and blob radii scale with --image-size so instance/canvas
+        # proportions match the 256px micro setup at any scale
+        s = args.image_size / 256.0
+        mc = make_mini_coco(root, n_images=args.n_images, seed=0,
+                            height=int(200 * s), width=int(260 * s),
+                            max_inst=args.max_inst,
+                            radius=(8 * s, 18 * s))
     name = "overfit_mini"
     DatasetCatalog.register(
         name, lambda: load_coco_json(mc["ann_file"], mc["image_dir"], name))
@@ -183,22 +205,42 @@ def main():
 
     t0 = time.time()
     trainer = Trainer(cfg)
-    logs = trainer.train()
-    train_s = time.time() - t0
-    print(f"trained {args.steps} steps in {train_s:.0f}s "
-          f"(final loss {float(logs['loss_total']):.3f})", file=sys.stderr)
-    # persist the trained weights BEFORE eval: a post-train crash must not
-    # cost the run (an r4 320px run lost its 804 s of training to an eval
-    # bug); the printed dir allows offline re-evaluation
-    try:
-        trainer.save_checkpoint()
-        print(f"checkpoint: {trainer.checkpoint_dir()}", file=sys.stderr)
-    except Exception as e:  # checkpointing must never kill the demo
-        print(f"checkpoint save failed: {e}", file=sys.stderr)
+    if args.eval_only:
+        trainer.resume_or_load(resume=True)
+        logs = {"loss_total": float("nan")}
+        train_s = 0.0
+        print(f"eval-only: restored from {trainer.checkpoint_dir()} "
+              f"(step {int(trainer.state.step)})", file=sys.stderr)
+    else:
+        if args.init_from:
+            from vision_instance_seg_tpu.engine.checkpoint import (
+                load_checkpoint)
+            donor = load_checkpoint(args.init_from, trainer.state)
+            trainer.state = trainer.state.replace(params=donor.params)
+            trainer._commit_state_to_mesh()
+            print(f"transfer-init params from {args.init_from}",
+                  file=sys.stderr)
+        logs = trainer.train()
+        train_s = time.time() - t0
+        print(f"trained {args.steps} steps in {train_s:.0f}s "
+              f"(final loss {float(logs['loss_total']):.3f})",
+              file=sys.stderr)
+        # persist the trained weights BEFORE eval: a post-train crash must
+        # not cost the run (an r4 320px run lost its 804 s of training to
+        # an eval bug); the printed dir allows offline re-evaluation via
+        # --data-root <mini dir> --eval-only
+        try:
+            trainer.save_checkpoint()
+            print(f"checkpoint: {trainer.checkpoint_dir()}",
+                  file=sys.stderr)
+        except Exception as e:  # checkpointing must never kill the demo
+            print(f"checkpoint save failed: {e}", file=sys.stderr)
 
     infer = make_inference_fn(trainer.model, cfg)
     res = COCOEvaluator(name, cfg).evaluate(infer, trainer.state.params)
     detail = {"steps": args.steps, "train_s": round(train_s, 1),
+              **({"eval_only": True} if args.eval_only else {}),
+              **({"init_from": args.init_from} if args.init_from else {}),
               "matcher": args.matcher, "points": args.points,
               "final_loss": round(float(logs["loss_total"]), 3),
               "segm": {k: round(float(v), 2)

@@ -165,6 +165,53 @@ class TestMesh:
         comm.barrier()
         assert comm.all_gather_objects({"x": 1}) == [{"x": 1}]
 
+    def test_comm_auto_dist_url_is_single_host_noop(self):
+        """detectron2's CLI default '--dist-url auto' (reference
+        train_experiments.py:248) must be the single-host no-op, not a
+        coordinator address handed to jax.distributed.initialize
+        (advisor r4)."""
+        import pytest
+
+        from vision_instance_seg_tpu.parallel import comm
+
+        assert comm.initialize(dist_url="auto", num_machines=1,
+                               machine_rank=0) is False
+        assert comm.initialize(dist_url="", num_machines=1) is False
+        assert comm.initialize(dist_url="auto") is False
+        # multi-machine 'auto' can't be resolved to an address: refuse
+        # loudly instead of hanging in the coordinator handshake
+        with pytest.raises(ValueError):
+            comm.initialize(dist_url="auto", num_machines=2,
+                            machine_rank=0)
+
+    def test_sharding_role_nearest_module_wins_over_ancestor_slash_key(self):
+        """A 'mlp/fc2' match in a distant ancestor path must not outrank
+        the leaf-most module name (advisor r4: the old joined-path rfind
+        compared match positions from two different strings)."""
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from vision_instance_seg_tpu.parallel.mesh import (
+            make_mesh, param_shardings)
+        from tests.test_models import tiny_cfg
+
+        cfg = tiny_cfg()
+        cfg.TPU.MESH_SHAPE = [4, 2]
+        mesh = make_mesh(cfg, batch_size=4)
+        # ancestor path contains 'mlp/fc2' (row); the nearest module is
+        # 'qkv' (column) — column must win
+        params = {"params": {"q_mlp": {"fc2": {"dense": {"qkv": {
+            "kernel": jnp.zeros((8, 8))}}}}}}
+        psh = param_shardings(params, mesh, min_size=1)
+        spec = psh["params"]["q_mlp"]["fc2"]["dense"]["qkv"]["kernel"].spec
+        assert spec == P(None, "model"), spec
+        # and the slash key still resolves against its own part pair
+        params2 = {"params": {"block": {"mlp": {"fc2": {
+            "kernel": jnp.zeros((8, 8))}}}}}
+        psh2 = param_shardings(params2, mesh, min_size=1)
+        spec2 = psh2["params"]["block"]["mlp"]["fc2"]["kernel"].spec
+        assert spec2 == P("model", None), spec2
+
 
 class TestHeadShardedTP:
     def test_deformable_head_sharding_rules(self):

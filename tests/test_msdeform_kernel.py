@@ -404,3 +404,26 @@ def test_selection_build_modes_backward(monkeypatch, mode):
     for name, a, b in zip(("d_value", "d_loc", "d_aw"), got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_hybrid_qmax_refused_without_explicit_allow():
+    """VIST_MSDEFORM_ONEHOT_QMAX>0 (the hybrid dispatch that
+    deterministically crashes the TPU worker inside the full model —
+    docs/PERF.md repro) must refuse to run unless VIST_ALLOW_HYBRID=1
+    is also set (VERDICT r4 #7)."""
+    import os
+    import subprocess
+    import sys
+
+    code = "import vision_instance_seg_tpu.kernels.msdeform_attn"
+    env = dict(os.environ, VIST_MSDEFORM_ONEHOT_QMAX="256",
+               JAX_PLATFORMS="cpu")
+    env.pop("VIST_ALLOW_HYBRID", None)
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode != 0
+    assert "VIST_ALLOW_HYBRID" in r.stderr
+    r2 = subprocess.run([sys.executable, "-c", code],
+                        env=dict(env, VIST_ALLOW_HYBRID="1"),
+                        capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr

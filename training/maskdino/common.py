@@ -84,7 +84,12 @@ def setup_cfg(train_name: Optional[str] = None,
               output_dir: str = "./output/maskdino",
               batch_size: int = 2, lr: float = 1e-4, max_iter: int = 3000,
               amp: bool = True, weights: str = "",
-              opts: Optional[list] = None):
+              opts: Optional[list] = None,
+              checkpoint_period: Optional[int] = None,
+              eval_period: Optional[int] = None,
+              num_workers: Optional[int] = None,
+              seed: Optional[int] = None,
+              config_file: str = ""):
     """MaskDINO R-50 4-scale config matching the reference's overrides
     (train_original.py:250-301, train_experiments.py:48-87)."""
     cfg = get_cfg()
@@ -133,6 +138,18 @@ def setup_cfg(train_name: Optional[str] = None,
     # `MODEL.MASK_DINO.DN_WARMUP_STEPS 0` in opts.
     cfg.MODEL.MASK_DINO.DN_WARMUP_STEPS = max_iter // 2
     cfg.OUTPUT_DIR = output_dir
+    # explicit CLI periods/seed/workers win over the max_iter-derived
+    # defaults (reference train_experiments.py:221-239 CLI surface)
+    if checkpoint_period is not None:
+        cfg.SOLVER.CHECKPOINT_PERIOD = checkpoint_period
+    if eval_period is not None:
+        cfg.TEST.EVAL_PERIOD = eval_period
+    if num_workers is not None:
+        cfg.DATALOADER.NUM_WORKERS = num_workers
+    if seed is not None:
+        cfg.SEED = seed
+    if config_file:
+        cfg.merge_from_file(config_file)
     if opts:
         cfg.merge_from_list(list(opts))
     return cfg

@@ -42,7 +42,11 @@ def train_experiment(exp_name: str, args) -> dict:
     cfg = setup_cfg(train_name=train_name, test_name=test_name,
                     output_dir=out_dir, batch_size=args.batch_size,
                     lr=args.lr, max_iter=args.max_iter, amp=args.amp,
-                    weights=args.pretrained_model, opts=args.opts)
+                    weights=args.pretrained_model, opts=args.opts,
+                    checkpoint_period=args.checkpoint_period,
+                    eval_period=args.eval_period,
+                    num_workers=args.num_workers, seed=args.seed,
+                    config_file=args.config_file)
     # --num-chips (reference --num-gpus) sets the data axis of the SPMD mesh
     cfg.TPU.MESH_SHAPE = [int(args.num_chips), 1]
     cfg.freeze()
@@ -96,7 +100,16 @@ def main():
                     help="experiment name or 'all'")
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--lr", type=float, default=5e-5)
-    ap.add_argument("--max-iter", type=int, default=5000)
+    ap.add_argument("--max-iter", type=int, default=10000)
+    ap.add_argument("--checkpoint-period", type=int, default=1000,
+                    help="checkpoint save period (iterations)")
+    ap.add_argument("--eval-period", type=int, default=1000,
+                    help="evaluation period (iterations)")
+    ap.add_argument("--num-workers", type=int, default=4,
+                    help="data-loading workers (DATALOADER.NUM_WORKERS)")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--config-file", default="",
+                    help="optional config file overriding the defaults")
     ap.add_argument("--amp", action="store_true", default=True)
     ap.add_argument("--no-amp", dest="amp", action="store_false")
     ap.add_argument("--resume", action="store_true")
@@ -114,9 +127,10 @@ def main():
                     help="number of hosts in the SPMD job")
     ap.add_argument("--machine-rank", type=int, default=0,
                     help="this host's rank (0 = coordinator)")
-    ap.add_argument("--dist-url", default="",
-                    help="coordinator address, e.g. tcp://host:port; empty "
-                         "= single host unless JAX_COORDINATOR_ADDRESS set")
+    ap.add_argument("--dist-url", default="auto",
+                    help="coordinator address, e.g. tcp://host:port; "
+                         "'auto' (detectron2 default) or empty = single "
+                         "host unless JAX_COORDINATOR_ADDRESS set")
     ap.add_argument("opts", nargs=argparse.REMAINDER)
     args = ap.parse_args()
 

@@ -121,6 +121,13 @@ def train_model(model: str, exp_name: str, args) -> dict:
 
 def run_experiment(model: str, exp_name: str, args) -> dict:
     print(f"\n{'=' * 70}\n[{model}] {exp_name}\n{'=' * 70}")
+    if model in BOX_ROUTES:
+        # disclose the routing up front, not only in the result JSON's
+        # "backend" field (advisor r4): the reference's own yolo branch is
+        # a TODO stub, so these names train the JAX detector instead
+        print(f"note: '{model}' routes to maskdino-tpu/"
+              f"{BOX_ROUTES[model]} + box_from_mask (ultralytics-shaped "
+              f"metrics; the reference's {model} branch is a TODO stub)")
     t0 = time.time()
     try:
         metrics = train_model(model, exp_name, args)

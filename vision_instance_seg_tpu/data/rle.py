@@ -132,8 +132,8 @@ def encode(mask: np.ndarray) -> Union[RLEObj, List[RLEObj]]:
     if c is None:
         c = _mask_to_counts(mask)
     s = native.counts_to_string(c)
-    if s is None:
-        s = _counts_to_string_fast(c)
+    if s is None:               # .so unavailable: pure-Python, once
+        s = counts_to_string(c)
     return {"size": [int(h), int(w)], "counts": s}
 
 

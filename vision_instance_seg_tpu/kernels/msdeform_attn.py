@@ -1232,6 +1232,19 @@ _encoder_pallas_diff.defvjp(_encoder_pallas_fwd, _encoder_pallas_bwd)
 # the nn.scan'd encoder (one trace) is the fix, with this knob kept as an
 # env escape hatch (VIST_MSDEFORM_ONEHOT_QMAX=256 restores the hybrid).
 ONEHOT_QMAX = int(_os.environ.get("VIST_MSDEFORM_ONEHOT_QMAX", "0"))
+# The hybrid path deterministically kills the TPU worker inside the full
+# model (one-command repro: docs/PERF.md "hybrid dispatch crash" —
+# VIST_MSDEFORM_ONEHOT_QMAX=256 python bench.py --model maskdino
+# --backbone r50 --encoder deformable --iters 2). Keep it available as a
+# diagnostic, but refuse to run unless explicitly double-opted-in
+# (VERDICT r4 #7).
+if ONEHOT_QMAX > 0 and _os.environ.get("VIST_ALLOW_HYBRID") != "1":
+    raise RuntimeError(
+        "VIST_MSDEFORM_ONEHOT_QMAX>0 enables the hybrid Pallas+one-hot "
+        "dispatch, which reproducibly crashes the TPU worker inside the "
+        "full model (see docs/PERF.md 'hybrid dispatch crash' for the "
+        "repro). Set VIST_ALLOW_HYBRID=1 as well if you really mean to "
+        "run the diagnostic.")
 
 
 def fused_ms_deform_attn(value: jnp.ndarray,

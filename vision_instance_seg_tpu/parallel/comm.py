@@ -36,7 +36,22 @@ def initialize(dist_url: str | None = None,
     """
     if jax.process_count() > 1:
         return True
+    # detectron2's CLI default is "--dist-url auto" (reference
+    # train_experiments.py:248) which means "pick a local coordinator for
+    # a single-machine launch"; with num_machines <= 1 there is nothing to
+    # coordinate, so treat it (and empty) as the single-host no-op rather
+    # than handing "auto" to jax.distributed.initialize as an address.
+    if dist_url in ("", "auto") and (num_machines is None
+                                     or num_machines <= 1):
+        dist_url = None
+    if num_machines is not None and num_machines <= 1 and not dist_url:
+        return False
     if dist_url:
+        if dist_url == "auto":
+            raise ValueError(
+                "--dist-url auto is only meaningful for single-machine "
+                "launches (num_machines<=1); multi-machine runs need an "
+                "explicit tcp://host:port coordinator address")
         # accept detectron2's "tcp://host:port" and bare "host:port"
         addr = dist_url.split("//", 1)[-1]
         jax.distributed.initialize(

@@ -99,12 +99,25 @@ def param_shardings(params: Any, mesh: Mesh,
         right answer, but with an all-gather-shaped layout instead of the
         Megatron head-sharded one.
         """
-        joined = "/".join(parts)
-        for part in reversed(parts):
+        for idx in range(len(parts) - 1, -1, -1):
+            part = parts[idx]
+            # slash keys ('mlp/fc1') are resolved against THIS part and its
+            # immediate parent only, in the same coordinate system as the
+            # plain-key search (positions offset by the parent prefix), so
+            # an 'mlp/fc*' match in a distant ancestor can't outrank the
+            # nearest module name (advisor r4: the old joined-path rfind
+            # compared positions from two different strings)
+            prefix = parts[idx - 1] + "/" if idx > 0 else ""
+            local = prefix + part
             best = (-1, -1, None)              # (end, len, role)
             for keys, role in ((_COLUMN_KEYS, "col"), (_ROW_KEYS, "row")):
                 for k in keys:
-                    i = joined.rfind(k) if "/" in k else part.rfind(k)
+                    if "/" in k:
+                        i = local.rfind(k)
+                    else:
+                        i = part.rfind(k)
+                        if i >= 0:
+                            i += len(prefix)
                     if i < 0:
                         continue
                     cand = (i + len(k), len(k), role)
