@@ -100,7 +100,9 @@ def bench_infer(batch: int, iters: int, warmup: int = 3,
             "deformable" if encoder == "deformable" else "dense")
         # reference trained config is 4-scale ("4s_dowsample1")
         cfg.MODEL.SEM_SEG_HEAD.TOTAL_NUM_FEATURE_LEVELS = levels
-    if backbone == "swin_b":
+    if backbone == "swin_s":
+        cfg.MODEL.SWIN.DEPTHS = [2, 2, 18, 2]      # T widths, S depth
+    elif backbone == "swin_b":
         cfg.MODEL.SWIN.EMBED_DIM = 128
         cfg.MODEL.SWIN.DEPTHS = [2, 2, 18, 2]
         cfg.MODEL.SWIN.NUM_HEADS = [4, 8, 16, 32]
@@ -179,7 +181,7 @@ def main():
     ap.add_argument("--model", default="mask2former",
                     choices=["mask2former", "maskdino"])
     ap.add_argument("--backbone", default="swin_t",
-                    choices=["swin_t", "swin_b", "r50"])
+                    choices=["swin_t", "swin_s", "swin_b", "r50"])
     ap.add_argument("--levels", type=int, default=4,
                     help="MaskDINO encoder scales (4 = reference 4s yaml)")
     ap.add_argument("opts", nargs="*", default=[],

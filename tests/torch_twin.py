@@ -777,9 +777,10 @@ class TwinSwinMask2Former(nn.Module):
     """Mask2Former with the Swin twin backbone (flagship family import)."""
 
     def __init__(self, c=32, nh=4, npts=4, enc_ffn=1024, dec_ffn=64,
-                 n_enc=2, n_dec=2, ncls=1, nq=8, swin_dim=32, ws=7):
+                 n_enc=2, n_dec=2, ncls=1, nq=8, swin_dim=32, ws=7,
+                 depths=(2, 2, 2, 2)):
         super().__init__()
-        self.backbone = SwinT(dim=swin_dim, ws=ws)
+        self.backbone = SwinT(dim=swin_dim, ws=ws, depths=depths)
         bb = (swin_dim * 8, swin_dim * 4, swin_dim * 2)   # res5, res4, res3
         sem_seg_head = nn.Module()
         sem_seg_head.pixel_decoder = PixelDecoder(

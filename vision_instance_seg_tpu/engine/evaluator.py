@@ -427,8 +427,23 @@ class COCOEvaluator:
         import jax
 
         # commit host-loaded params to device once — otherwise every batch
-        # re-uploads the full weight tree
-        params = jax.device_put(params)
+        # re-uploads the full weight tree. Multi-host: each process
+        # evaluates its process_index-strided subset INDEPENDENTLY, so the
+        # inference jit must run on local devices only — a jit over global
+        # (mesh-committed) arrays needs lockstep participation that
+        # per-process strided batch counts violate (and device_put refuses
+        # non-addressable inputs outright). Fully-replicated global params
+        # already hold the whole tree on every local device: rebind each
+        # leaf to its first local shard (zero cross-host traffic).
+        # TP-sharded leaves can't be localized this way and are left alone
+        # (loud jit error > silent wrong math).
+        def _commit(a):
+            if isinstance(a, jax.Array) and not a.is_fully_addressable:
+                if a.sharding.is_fully_replicated:
+                    return a.addressable_data(0)
+                return a
+            return jax.device_put(a)
+        params = jax.tree_util.tree_map(_commit, params)
         cfg = self.cfg
         dicts = DatasetCatalog.get(self.dataset_name)
         loader = EvalLoader(dicts, cfg,

@@ -163,6 +163,11 @@ class Trainer:
     def save_checkpoint(self, tag: Optional[str] = None):
         from vision_instance_seg_tpu.engine.checkpoint import save_checkpoint
         step = int(self.state.step)
+        # multi-host: EVERY process must call orbax save — it runs its own
+        # sync_global_devices barriers internally and writes host arrays on
+        # the primary process only. Gating this to is_main_process()
+        # deadlocks on orbax's 'Checkpointer:save_start' barrier (found by
+        # the first real two-process run, scripts/multihost_dryrun.py).
         save_checkpoint(self.checkpoint_dir(), self.state,
                         step if tag is None else tag)
 
@@ -195,6 +200,14 @@ class Trainer:
         evaluator = COCOEvaluator(self.cfg.DATASETS.TEST[0], self.cfg)
         return evaluator.evaluate(self._infer_fn, self.state.params)
 
+    def _write_metrics(self, obj: Dict) -> None:
+        """metrics.json append, main process only (every process computes
+        identical replicated logs; one writer avoids interleaved lines)."""
+        from vision_instance_seg_tpu.parallel import comm
+        if comm.is_main_process():
+            with open(self._metrics_file, "a") as f:
+                f.write(json.dumps(obj) + "\n")
+
     def _periodic_eval(self, it: int) -> bool:
         """Mid-training eval (reference TEST.EVAL_PERIOD,
         train_experiments.py:75): logs AP to metrics.json, keeps a "best"
@@ -205,8 +218,7 @@ class Trainer:
         ap = float(metrics.get("segm", {}).get("AP", float("nan")))
         logger.info("eval @ iter %d: segm AP %.4f (best %.4f)", it, ap,
                     self.best_metric)
-        with open(self._metrics_file, "a") as f:
-            f.write(json.dumps({"iteration": it, "eval": metrics}) + "\n")
+        self._write_metrics({"iteration": it, "eval": metrics})
         if np.isfinite(ap) and ap > self.best_metric:
             self.best_metric = ap
             self._evals_since_best = 0
@@ -257,8 +269,7 @@ class Trainer:
                     logger.info(
                         "iter %d/%d %s", it, max_iter,
                         " ".join(f"{k}={v:.4g}" for k, v in logs.items()))
-                    with open(self._metrics_file, "a") as f:
-                        f.write(json.dumps({"iteration": it, **logs}) + "\n")
+                    self._write_metrics({"iteration": it, **logs})
                 if (it + 1) % int(cfg.SOLVER.CHECKPOINT_PERIOD) == 0:
                     self.save_checkpoint()
                 if (eval_period > 0 and cfg.DATASETS.TEST

@@ -34,7 +34,10 @@ def initialize(dist_url: str | None = None,
     win over the JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS env vars;
     with neither, single-host runs are a no-op.
     """
-    if jax.process_count() > 1:
+    # NOT jax.process_count(): that initializes the XLA backend, after
+    # which jax.distributed.initialize refuses to run (flushed out by the
+    # first real two-process run, scripts/multihost_dryrun.py)
+    if jax.distributed.is_initialized():
         return True
     # detectron2's CLI default is "--dist-url auto" (reference
     # train_experiments.py:248) which means "pick a local coordinator for
