@@ -62,6 +62,10 @@ def _block(x, p, nh, hd, shift, c_real, mask, rel):
     n = WS * WS
     shortcut = x
     x = _ln(x, p["g1"], p["b1"], c_real)
+    # window-pad like SwinBlock (800px stage 2 is 100x100 -> 104x104)
+    hp, wp = -(-h // WS) * WS, -(-w // WS) * WS
+    if hp != h or wp != w:
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
     if shift:
         x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
     xw = window_partition(x, WS)                        # (nWt, N, Cp)
@@ -72,10 +76,10 @@ def _block(x, p, nh, hd, shift, c_real, mask, rel):
     v = qkv[..., 2 * c:].reshape(nwt, n, nh, hd)
     out = _window_attention_nhd(q, k, v, rel, mask, hd ** -0.5)
     out = out.reshape(nwt, n, c) @ p["wproj"] + p["bproj"]   # (nWt, N, Cp)
-    x = window_unpartition(out, WS, h, w)
+    x = window_unpartition(out, WS, hp, wp)
     if shift:
         x = jnp.roll(x, (shift, shift), axis=(1, 2))
-    x = shortcut + x
+    x = shortcut + x[:, :h, :w]
     y = _ln(x, p["g2"], p["b2"], c_real)
     y = jax.nn.gelu(y @ p["w1"] + p["bm1"], approximate=False)
     return x + (y @ p["w2"] + p["bm2"])
@@ -128,7 +132,8 @@ def _forward(params, img, cp1, cp2, c1=96, c2=192):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     x = _ln(x, params["ge"], params["be"], c1)
     h, w = x.shape[1], x.shape[2]
-    m1 = jnp.asarray(_shift_attn_mask(h, w, WS, WS // 2))
+    m1 = jnp.asarray(_shift_attn_mask(-(-h // WS) * WS, -(-w // WS) * WS,
+                                      WS, WS // 2))
     x = _block(x, params["s1b0"], 3, 32, 0, c1, None, params["s1b0"]["rel"])
     x = _block(x, params["s1b1"], 3, 32, WS // 2, c1, m1,
                params["s1b1"]["rel"])
@@ -138,7 +143,8 @@ def _forward(params, img, cp1, cp2, c1=96, c2=192):
     x = _ln(x, params["gm"], params["bm"], 4 * c1)
     x = x @ params["wred"]
     h, w = x.shape[1], x.shape[2]
-    m2 = jnp.asarray(_shift_attn_mask(h, w, WS, WS // 2))
+    m2 = jnp.asarray(_shift_attn_mask(-(-h // WS) * WS, -(-w // WS) * WS,
+                                      WS, WS // 2))
     x = _block(x, params["s2b0"], 6, 32, 0, c2, None, params["s2b0"]["rel"])
     x = _block(x, params["s2b1"], 6, 32, WS // 2, c2, m2,
                params["s2b1"]["rel"])
