@@ -65,8 +65,13 @@ def test_dist_flags_mirror_reference():
         "te", ROOT / "training/maskdino/train_experiments.py")
     src = (ROOT / "training/maskdino/train_experiments.py").read_text()
     for flag in ("--num-machines", "--machine-rank", "--dist-url",
-                 "--num-gpus"):
+                 "--num-gpus",
+                 # r5 surface parity (reference :221-239, VERDICT r4 #8)
+                 "--checkpoint-period", "--eval-period", "--num-workers",
+                 "--seed", "--config-file"):
         assert flag in src, flag
+    # --max-iter default matches the reference's 10000
+    assert 'default=10000' in src
     del spec, argparse
 
 
