@@ -465,7 +465,11 @@ class MSDeformAttnPixelDecoder(nn.Module):
                     if self.remat else _DeformableEncoderScanBody)
             stack = nn.scan(
                 body,
-                variable_axes={"params": 0},
+                # 'intermediates' rides the scan stacked per layer so
+                # capture_intermediates sees inside the fold (diagnostics
+                # like scripts/repro_kernel_fault.py); absent unless a
+                # caller requests capture, so normal runs are unchanged
+                variable_axes={"params": 0, "intermediates": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast),
                 length=self.num_encoder_layers,
