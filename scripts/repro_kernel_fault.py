@@ -82,7 +82,8 @@ def first_batch(cfg, name):
     from vision_instance_seg_tpu.data.loader import EvalLoader
 
     dicts = DatasetCatalog.get(name)
-    return next(iter(EvalLoader(dicts, cfg, batch_size=1)))
+    return next(iter(EvalLoader(
+        dicts, cfg, batch_size=int(cfg.TEST.get("BATCH_SIZE", 1)))))
 
 
 def stage_model(cfg, name):
